@@ -1,0 +1,349 @@
+"""Vectorized BLS12-377 Fr arithmetic on limb-packed JAX arrays.
+
+This is the TPU-native replacement for the ark-ff Montgomery bigint backend
+that sits under every hot loop of the reference prover (SURVEY.md §2c:
+``ark-ff``/``ark-ff-asm`` is "the innermost native hot loop").
+
+Representation
+--------------
+A batch of field elements is a ``uint32`` array of shape ``(16, *batch)``:
+axis 0 holds 16 little-endian 16-bit limbs, all remaining axes are free batch
+dimensions (the last axis is conventionally the trace-row/domain axis so it
+lands in TPU vector lanes).  Values are kept canonical (< r) and in Montgomery
+form (x·R mod r, R = 2**256) except where noted.
+
+Why 16-bit limbs: the TPU VPU has no widening integer multiply, so limb
+products must fit exactly in the 32-bit lanes; 16×16→32 does.  Accumulators
+stay below 2**22 (bounds in comments), so the schoolbook/CIOS accumulation
+never wraps.
+
+All functions are pure jnp and usable both at trace level and inside Pallas
+kernel bodies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import oracle
+from .constants import (
+    LIMB_BITS,
+    LIMB_MASK,
+    MODULUS_LIMBS,
+    MONT_R2,
+    NUM_LIMBS,
+    R_MOD,
+    to_limbs,
+)
+
+U32 = jnp.uint32
+_MASK = U32(LIMB_MASK)
+_R_LIMBS = [U32(int(v)) for v in MODULUS_LIMBS]
+
+
+# ---------------------------------------------------------------------------
+# Constructors / converters
+# ---------------------------------------------------------------------------
+
+def zeros(batch_shape=()) -> jax.Array:
+    return jnp.zeros((NUM_LIMBS, *batch_shape), dtype=U32)
+
+
+def full(batch_shape, value_int: int, mont: bool = True) -> jax.Array:
+    """Broadcast a single field value (Python int, canonical) to a batch."""
+    v = oracle.to_mont(value_int % R_MOD) if mont else value_int % R_MOD
+    limbs = to_limbs(v)
+    out = jnp.asarray(limbs, dtype=U32).reshape((NUM_LIMBS,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(out, (NUM_LIMBS, *batch_shape))
+
+
+def ones(batch_shape=()) -> jax.Array:
+    return full(batch_shape, 1)
+
+
+def const(value_int: int, mont: bool = True) -> jax.Array:
+    """A single (unbatched) constant, shape (16,)."""
+    v = oracle.to_mont(value_int % R_MOD) if mont else value_int % R_MOD
+    return jnp.asarray(to_limbs(v), dtype=U32)
+
+
+def pack_ints(values, mont: bool = True) -> np.ndarray:
+    """Host helper: list of canonical Python ints -> uint32 (16, N)."""
+    out = np.empty((NUM_LIMBS, len(values)), dtype=np.uint32)
+    for k, v in enumerate(values):
+        x = v % R_MOD
+        if mont:
+            x = oracle.to_mont(x)
+        for i in range(NUM_LIMBS):
+            out[i, k] = (x >> (LIMB_BITS * i)) & LIMB_MASK
+    return out
+
+
+def unpack_ints(arr, mont: bool = True) -> list:
+    """Host helper: uint32 (16, N) -> list of canonical Python ints."""
+    a = np.asarray(arr)
+    flat = a.reshape(NUM_LIMBS, -1)
+    out = []
+    for k in range(flat.shape[1]):
+        x = 0
+        for i in range(NUM_LIMBS):
+            x |= int(flat[i, k]) << (LIMB_BITS * i)
+        out.append(oracle.from_mont(x) if mont else x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Limb plumbing
+# ---------------------------------------------------------------------------
+
+def _as_list(a: jax.Array) -> list:
+    return [a[i] for i in range(a.shape[0])]
+
+
+def _stack(limbs: list) -> jax.Array:
+    return jnp.stack(limbs, axis=0)
+
+
+def _carry_norm(limbs: list) -> list:
+    """Propagate carries so every limb is < 2**16.  Input limbs < 2**31."""
+    out = []
+    carry = None
+    for l in limbs:
+        t = l if carry is None else l + carry
+        out.append(t & _MASK)
+        carry = t >> LIMB_BITS
+    out.append(carry)
+    return out
+
+
+def _sub_borrow(a: list, b_limbs) -> tuple[list, jax.Array]:
+    """a - b limbwise (both canonical 16-bit); returns (limbs, borrow_flag)."""
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for i in range(NUM_LIMBS):
+        bi = b_limbs[i] if isinstance(b_limbs, list) else b_limbs[i]
+        d = a[i] - bi - borrow
+        out.append(d & _MASK)
+        borrow = d >> 31  # wrapped (negative) iff top bit set: operands < 2**17
+    return out, borrow
+
+
+def _cond_sub_r(limbs: list) -> list:
+    """Subtract r if the 16-limb value is >= r (value must be < 2r)."""
+    t, borrow = _sub_borrow(limbs, _R_LIMBS)
+    keep = borrow.astype(jnp.bool_)
+    return [jnp.where(keep, limbs[i], t[i]) for i in range(NUM_LIMBS)]
+
+
+# ---------------------------------------------------------------------------
+# Ring ops (Montgomery-form agnostic: add/sub/neg work for any residues)
+# ---------------------------------------------------------------------------
+
+def add(a: jax.Array, b: jax.Array) -> jax.Array:
+    la, lb = _as_list(a), _as_list(b)
+    s = _carry_norm([la[i] + lb[i] for i in range(NUM_LIMBS)])
+    # a, b < r < 2**253 so the sum fits in 16 limbs (carry-out is zero).
+    return _stack(_cond_sub_r(s[:NUM_LIMBS]))
+
+
+def sub(a: jax.Array, b: jax.Array) -> jax.Array:
+    la, lb = _as_list(a), _as_list(b)
+    d, borrow = _sub_borrow(la, lb)
+    # If a < b, add r back (single pass, result < r so no further carry-out).
+    addback = borrow  # 0 or 1
+    carry = jnp.zeros_like(d[0])
+    out = []
+    for i in range(NUM_LIMBS):
+        t = d[i] + addback * _R_LIMBS[i] + carry
+        out.append(t & _MASK)
+        carry = t >> LIMB_BITS
+    return _stack(out)
+
+
+def neg(a: jax.Array) -> jax.Array:
+    return sub(zeros(a.shape[1:]), a)
+
+
+def double(a: jax.Array) -> jax.Array:
+    return add(a, a)
+
+
+def mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product a·b·R^{-1} mod r (CIOS, radix 2**16).
+
+    Accumulator bound: schoolbook pass contributes < 32·2**16 per position,
+    the reduction pass another < 32·2**16 plus a < 2**6 carry — all < 2**22,
+    far under the uint32 ceiling, so no intermediate normalization is needed.
+    """
+    la, lb = _as_list(a), _as_list(b)
+    zero = jnp.zeros(jnp.broadcast_shapes(la[0].shape, lb[0].shape), dtype=U32)
+    acc = [zero] * (2 * NUM_LIMBS + 1)
+    for i in range(NUM_LIMBS):
+        ai = la[i]
+        for j in range(NUM_LIMBS):
+            p = ai * lb[j]
+            acc[i + j] = acc[i + j] + (p & _MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
+    for i in range(NUM_LIMBS):
+        m = (jnp.zeros_like(acc[i]) - acc[i]) & _MASK  # -r^{-1} mod 2^16 == 0xFFFF
+        for j in range(NUM_LIMBS):
+            p = m * _R_LIMBS[j]
+            acc[i + j] = acc[i + j] + (p & _MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
+        # acc[i] is now ≡ 0 mod 2**16; fold its carry into the next limb.
+        acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
+    res = _carry_norm(acc[NUM_LIMBS : 2 * NUM_LIMBS + 1])
+    # value < 2r < 2**254: fits in 16 limbs after normalization.
+    return _stack(_cond_sub_r(res[:NUM_LIMBS]))
+
+
+def square(a: jax.Array) -> jax.Array:
+    return mul(a, a)
+
+
+def mul_const(a: jax.Array, c_int: int) -> jax.Array:
+    """Multiply by a compile-time constant (canonical int).
+
+    The constant is pre-converted so that a single Montgomery multiply by
+    (c·R mod r) yields a·c in Montgomery form.
+    """
+    c = const(c_int)
+    return mul(a, c.reshape((NUM_LIMBS,) + (1,) * (a.ndim - 1)))
+
+
+def pow_const(a: jax.Array, e: int) -> jax.Array:
+    """a**e for a static Python-int exponent (square-and-multiply).
+
+    Small exponents are unrolled (minimal multiply chains matter for the
+    Poseidon2 S-box); large ones (Fermat inversion) run as a lax.scan over the
+    exponent bits so the emitted graph stays two multiplies wide.
+    """
+    assert e >= 0
+    if e == 0:
+        return ones(a.shape[1:])
+    if e.bit_length() <= 16:
+        result = None
+        base = a
+        while True:
+            if e & 1:
+                result = base if result is None else mul(result, base)
+            e >>= 1
+            if e == 0:
+                break
+            base = square(base)
+        return result
+
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.uint32)
+    )
+    one = ones(a.shape[1:])
+
+    def body(carry, bit):
+        result, base = carry
+        factor = select(jnp.broadcast_to(bit.astype(jnp.bool_), a.shape[1:]), base, one)
+        return (mul(result, factor), square(base)), None
+
+    (result, _), _ = jax.lax.scan(body, (one, a), bits)
+    return result
+
+
+def inv(a: jax.Array) -> jax.Array:
+    """Elementwise inverse by Fermat (a**(r-2)); a must be nonzero.
+
+    Prefer :func:`batch_inverse` on large batches — it needs only O(log N)
+    multiplies per element instead of ~380 (the reference inverts per-row with
+    no batching at all: trace/src/permutation.rs:70, SURVEY.md §3.2).
+    """
+    return pow_const(a, R_MOD - 2)
+
+
+# ---------------------------------------------------------------------------
+# Predicates / selection
+# ---------------------------------------------------------------------------
+
+def is_zero(a: jax.Array) -> jax.Array:
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise where(mask, a, b); mask has the batch shape."""
+    return jnp.where(mask[None, ...], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery-domain conversion
+# ---------------------------------------------------------------------------
+
+_R2_CONST = None
+
+
+def _r2(batch_ndim: int) -> jax.Array:
+    c = jnp.asarray(to_limbs(MONT_R2), dtype=U32)
+    return c.reshape((NUM_LIMBS,) + (1,) * batch_ndim)
+
+
+def to_mont(a: jax.Array) -> jax.Array:
+    """Canonical residue limbs -> Montgomery form."""
+    return mul(a, _r2(a.ndim - 1))
+
+
+def from_mont(a: jax.Array) -> jax.Array:
+    """Montgomery form -> canonical residue limbs (multiplies by 1)."""
+    one = jnp.zeros((NUM_LIMBS,) + (1,) * (a.ndim - 1), dtype=U32).at[0].set(1)
+    return mul(a, one)
+
+
+# ---------------------------------------------------------------------------
+# Batch inversion (Montgomery's trick, scan-based)
+# ---------------------------------------------------------------------------
+
+def batch_inverse(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Invert every element along ``axis`` with two parallel prefix-product
+    scans plus one Fermat inversion.
+
+    inv(x_i) = (prod_{j<i} x_j) · (prod_{j>i} x_j) · inv(prod_j x_j)
+
+    This replaces the reference's per-row extended-Euclid inversions
+    (trace/src/permutation.rs:70, trace/src/lookup.rs:126) with a
+    device-parallel O(N log N)-multiply algorithm.  All inputs must be
+    nonzero (matching the reference's panic-on-zero semantics).
+    """
+    axis = axis % x.ndim
+    assert axis != 0, "axis 0 is the limb axis"
+
+    def comb(a, b):
+        return mul(a, b)
+
+    prefix_inc = jax.lax.associative_scan(comb, x, axis=axis)
+    suffix_inc = jax.lax.associative_scan(comb, x, axis=axis, reverse=True)
+
+    n = x.shape[axis]
+    one_block = ones(tuple(1 if d == axis else s for d, s in enumerate(x.shape[1:], start=1)))
+
+    def shift(arr, rev):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(1, None) if rev else slice(0, n - 1)
+        body = arr[tuple(sl)]
+        pad = jnp.broadcast_to(
+            one_block, tuple(1 if d == axis else s for d, s in enumerate(x.shape))
+        )
+        parts = (body, pad) if rev else (pad, body)
+        return jnp.concatenate(parts, axis=axis)
+
+    prefix_exc = shift(prefix_inc, rev=False)   # prod_{j<i}
+    suffix_exc = shift(suffix_inc, rev=True)    # prod_{j>i}
+
+    sl_last = [slice(None)] * x.ndim
+    sl_last[axis] = slice(n - 1, n)
+    total = prefix_inc[tuple(sl_last)]
+    total_inv = inv(total)
+
+    return mul(mul(prefix_exc, suffix_exc), total_inv)
