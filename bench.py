@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: prove the 3x3 x 2^19-row permutation AIR.
+
+This is the reference's README workload (README.md:11: ~330 s on a 24-core
+x86; BASELINE.md).  Prints exactly one JSON line on stdout:
+
+    {"metric": ..., "value": <prove seconds>, "unit": "s", "vs_baseline": <speedup>}
+
+Sub-metrics (kernel throughputs, span tree) go to stderr.
+Env knobs: BENCH_LOG_HEIGHT (default 19), BENCH_WIDTH (default 3),
+BENCH_QUERIES / BENCH_POW_BITS to mirror other FRI configs.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+BASELINE_PROVE_S = 330.0  # README.md:11 (same workload, 24-core CPU)
+
+
+def main() -> int:
+    log_h = int(os.environ.get("BENCH_LOG_HEIGHT", "19"))
+    width = int(os.environ.get("BENCH_WIDTH", "3"))
+    queries = int(os.environ.get("BENCH_QUERIES", "33"))
+    pow_bits = int(os.environ.get("BENCH_POW_BITS", "0"))
+    height = 1 << log_h
+
+    from linea_stark_tpu.challenger import HashChallenger
+    from linea_stark_tpu.config import FriConfig, StarkConfig
+    from linea_stark_tpu.field.constants import R_MOD
+    from linea_stark_tpu.prover import prove, verify
+    from linea_stark_tpu.trace import build_trace, gen_permutation_trace
+    from linea_stark_tpu.utils import timing
+
+    import random
+
+    rng = random.Random(0xBE7C4)
+    alpha, delta = rng.randrange(R_MOD), rng.randrange(R_MOD)
+
+    config = StarkConfig(
+        fri=FriConfig(log_blowup=3, log_final_poly_len=0, num_queries=queries,
+                      proof_of_work_bits=pow_bits),
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"workload: {width}x{width} x 2^{log_h} permutation AIR", file=sys.stderr)
+
+    t0 = time.time()
+    raw = gen_permutation_trace(width, height, seed=7)
+    built = build_trace([raw], [], alpha, delta, check=False)
+    built.matrix.block_until_ready()
+    print(f"trace build: {time.time() - t0:.2f}s", file=sys.stderr)
+
+    # Warm-up pass at a smaller height populates kernel caches without
+    # polluting the headline number (first-ever runs pay remote compiles).
+    warm = os.environ.get("BENCH_WARMUP", "1") == "1"
+    if warm and log_h > 12:
+        wraw = gen_permutation_trace(width, 1 << 12, seed=8)
+        wbuilt = build_trace([wraw], [], alpha, delta, check=False)
+        t0 = time.time()
+        prove(config, wbuilt.air, wbuilt.matrix, [alpha, delta], HashChallenger())
+        print(f"warmup prove (2^12): {time.time() - t0:.2f}s", file=sys.stderr)
+
+    timing.reset()
+    t0 = time.time()
+    proof = prove(config, built.air, built.matrix, [alpha, delta], HashChallenger())
+    prove_s = time.time() - t0
+    print(timing.report(), file=sys.stderr)
+
+    t0 = time.time()
+    verify(config, built.air, proof, [alpha, delta], HashChallenger())
+    print(f"verify: {time.time() - t0:.2f}s (ok)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"prove_permutation_{width}x{width}_2^{log_h}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_PROVE_S / prove_s, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,13 +17,17 @@ from . import oracle
 def decode_be_bytes_mod_order(data: np.ndarray, mont: bool = True) -> np.ndarray:
     """Decode an (N, 32) uint8 array of big-endian scalars into (16, N) limbs.
 
-    Vectorized host-side reduction mod r (values are < 2**256 < 16r·...; we
-    reduce exactly via Python ints per unique chunk boundary — numpy has no
-    256-bit ints, so we reassemble through object->int in bulk).
+    Uses the native C codec (linea_stark_tpu.native) when a compiler is
+    available — ~1000x faster for zkevm-scale files — with a pure-Python
+    fallback.
     """
     a = np.ascontiguousarray(data, dtype=np.uint8)
     n = a.shape[0]
     assert a.shape[1] == 32
+    from .. import native
+
+    if native.available():
+        return native.decode_be_mod_order(a, mont=mont)
     # Reassemble via 4 uint64 words, then reduce in Python ints (fast enough
     # off the hot path; the native/ C extension accelerates this for large
     # zkevm traces).

@@ -41,8 +41,11 @@ from .constants import (
 )
 
 U32 = jnp.uint32
-_MASK = U32(LIMB_MASK)
-_R_LIMBS = [U32(int(v)) for v in MODULUS_LIMBS]
+# Plain Python ints: weakly-typed scalars combine with uint32 arrays without
+# promotion and are legal inside Pallas kernel bodies (jnp scalar constants
+# would be captured as closure constants there).
+_MASK = LIMB_MASK
+_R_LIMBS = [int(v) for v in MODULUS_LIMBS]
 
 
 # ---------------------------------------------------------------------------
@@ -143,15 +146,13 @@ def _cond_sub_r(limbs: list) -> list:
 # Ring ops (Montgomery-form agnostic: add/sub/neg work for any residues)
 # ---------------------------------------------------------------------------
 
-def add(a: jax.Array, b: jax.Array) -> jax.Array:
-    la, lb = _as_list(a), _as_list(b)
+def add_limb_lists(la: list, lb: list) -> list:
     s = _carry_norm([la[i] + lb[i] for i in range(NUM_LIMBS)])
     # a, b < r < 2**253 so the sum fits in 16 limbs (carry-out is zero).
-    return _stack(_cond_sub_r(s[:NUM_LIMBS]))
+    return _cond_sub_r(s[:NUM_LIMBS])
 
 
-def sub(a: jax.Array, b: jax.Array) -> jax.Array:
-    la, lb = _as_list(a), _as_list(b)
+def sub_limb_lists(la: list, lb: list) -> list:
     d, borrow = _sub_borrow(la, lb)
     # If a < b, add r back (single pass, result < r so no further carry-out).
     addback = borrow  # 0 or 1
@@ -161,7 +162,15 @@ def sub(a: jax.Array, b: jax.Array) -> jax.Array:
         t = d[i] + addback * _R_LIMBS[i] + carry
         out.append(t & _MASK)
         carry = t >> LIMB_BITS
-    return _stack(out)
+    return out
+
+
+def add(a: jax.Array, b: jax.Array) -> jax.Array:
+    return _stack(add_limb_lists(_as_list(a), _as_list(b)))
+
+
+def sub(a: jax.Array, b: jax.Array) -> jax.Array:
+    return _stack(sub_limb_lists(_as_list(a), _as_list(b)))
 
 
 def neg(a: jax.Array) -> jax.Array:
@@ -172,15 +181,30 @@ def double(a: jax.Array) -> jax.Array:
     return add(a, a)
 
 
-def mul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Montgomery product a·b·R^{-1} mod r (CIOS, radix 2**16).
+def _r_stacked() -> jax.Array:
+    # Fresh constant per call: caching device arrays in module globals would
+    # leak tracers between jit/scan traces.
+    return jnp.asarray(np.asarray(MODULUS_LIMBS), dtype=U32)
+
+
+def _pad_add(acc: jax.Array, val: jax.Array, offset: int) -> jax.Array:
+    """acc[offset:offset+16] += val, expressed as zero-pad + add so XLA sees a
+    single fusible elementwise op instead of a dynamic-update-slice chain."""
+    total = acc.shape[0]
+    pad = [(offset, total - NUM_LIMBS - offset)] + [(0, 0)] * (acc.ndim - 1)
+    return acc + jnp.pad(val, pad)
+
+
+def mul_limb_lists(la: list, lb: list) -> list:
+    """Core CIOS Montgomery product on per-limb arrays (any broadcastable
+    shapes).  Used directly inside Pallas kernel bodies (where Mosaic keeps
+    every intermediate in registers/VMEM) and by the stacked XLA wrapper.
 
     Accumulator bound: schoolbook pass contributes < 32·2**16 per position,
-    the reduction pass another < 32·2**16 plus a < 2**6 carry — all < 2**22,
+    the reduction pass another < 32·2**16 plus small carries — all < 2**22,
     far under the uint32 ceiling, so no intermediate normalization is needed.
     """
-    la, lb = _as_list(a), _as_list(b)
-    zero = jnp.zeros(jnp.broadcast_shapes(la[0].shape, lb[0].shape), dtype=U32)
+    zero = jnp.zeros(jnp.broadcast_shapes(jnp.shape(la[0]), jnp.shape(lb[0])), U32)
     acc = [zero] * (2 * NUM_LIMBS + 1)
     for i in range(NUM_LIMBS):
         ai = la[i]
@@ -189,7 +213,7 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
             acc[i + j] = acc[i + j] + (p & _MASK)
             acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
     for i in range(NUM_LIMBS):
-        m = (jnp.zeros_like(acc[i]) - acc[i]) & _MASK  # -r^{-1} mod 2^16 == 0xFFFF
+        m = (zero - acc[i]) & _MASK  # -r^{-1} mod 2^16 == 0xFFFF
         for j in range(NUM_LIMBS):
             p = m * _R_LIMBS[j]
             acc[i + j] = acc[i + j] + (p & _MASK)
@@ -197,6 +221,47 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
         # acc[i] is now ≡ 0 mod 2**16; fold its carry into the next limb.
         acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
     res = _carry_norm(acc[NUM_LIMBS : 2 * NUM_LIMBS + 1])
+    # value < 2r < 2**254: fits in 16 limbs after normalization.
+    return _cond_sub_r(res[:NUM_LIMBS])
+
+
+def _pad_add(acc: jax.Array, val: jax.Array, offset: int) -> jax.Array:
+    """acc[offset:offset+16] += val as zero-pad + add (single fusible op)."""
+    total = acc.shape[0]
+    pad = [(offset, total - NUM_LIMBS - offset)] + [(0, 0)] * (acc.ndim - 1)
+    return acc + jnp.pad(val, pad)
+
+
+def mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product a·b·R^{-1} mod r (CIOS, radix 2**16).
+
+    Stacked-limb formulation: each of the 16 schoolbook steps multiplies the
+    *whole* 16-limb stack of ``a`` by one scalar limb of ``b`` (one wide VPU
+    multiply), splits lo/hi, and accumulates with shifted zero-padded adds.
+    This keeps the emitted graph ~400 HLO ops per multiply (vs ~2700 for the
+    per-limb loop) — compile time matters because a full prove traces tens of
+    thousands of multiplies.  The per-element hot path on TPU is the Pallas
+    kernel (kernels/), which uses :func:`mul_limb_lists` instead.
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NUM_LIMBS, *batch))
+    acc = jnp.zeros((2 * NUM_LIMBS + 1, *batch), dtype=U32)
+    for j in range(NUM_LIMBS):
+        p = a * b[j]
+        acc = _pad_add(acc, p & _MASK, j)
+        acc = _pad_add(acc, p >> LIMB_BITS, j + 1)
+    r = _r_stacked().reshape((NUM_LIMBS,) + (1,) * len(batch))
+    carry = jnp.zeros(batch, dtype=U32)
+    for i in range(NUM_LIMBS):
+        head = acc[i] + carry
+        m = (jnp.zeros_like(head) - head) & _MASK  # -r^{-1} mod 2^16 == 0xFFFF
+        p = m * r
+        lo, hi = p & _MASK, p >> LIMB_BITS
+        acc = _pad_add(acc, lo, i)
+        acc = _pad_add(acc, hi, i + 1)
+        # head + lo[0] ≡ 0 mod 2**16; its upper bits carry into limb i+1.
+        carry = (head + lo[0]) >> LIMB_BITS
+    res = _carry_norm([acc[NUM_LIMBS] + carry] + [acc[k] for k in range(NUM_LIMBS + 1, 2 * NUM_LIMBS + 1)])
     # value < 2r < 2**254: fits in 16 limbs after normalization.
     return _stack(_cond_sub_r(res[:NUM_LIMBS]))
 

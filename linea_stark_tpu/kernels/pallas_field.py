@@ -1,0 +1,132 @@
+"""Pallas TPU kernels for Fr limb arithmetic.
+
+The XLA elementwise path materializes limb intermediates in HBM (measured
+~42M muls/s on v5e — memory-bound ~40× below multiply speed-of-light), so the
+hot ops run as Pallas kernels instead: the whole CIOS multiply executes on a
+VMEM-resident block with every intermediate in registers, and HBM traffic is
+just the operands and result (SURVEY.md §7 hard part #1).
+
+Layout: field batches are (16, N) uint32.  Each grid step processes a
+(16, TILE) block; per-limb values are (TILE,)-shaped lane vectors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import fr
+from ..field.constants import NUM_LIMBS
+
+DEFAULT_TILE = 2048
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _interpret() -> bool:
+    return not _on_tpu()
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    la = [a_ref[i] for i in range(NUM_LIMBS)]
+    lb = [b_ref[i] for i in range(NUM_LIMBS)]
+    out = fr.mul_limb_lists(la, lb)
+    for i in range(NUM_LIMBS):
+        o_ref[i] = out[i]
+
+
+def _flatten(a: jax.Array):
+    """(16, *batch) -> (16, N) plus the original shape."""
+    return a.reshape(NUM_LIMBS, -1), a.shape
+
+
+def _binop(kernel, a: jax.Array, b: jax.Array, tile: int) -> jax.Array:
+    af, shape = _flatten(a)
+    bf, _ = _flatten(b)
+    n = af.shape[-1]
+    assert af.shape == bf.shape
+    t = min(tile, n)
+    while n % t:
+        t //= 2
+    spec = pl.BlockSpec((NUM_LIMBS, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n), af.dtype),
+        grid=(n // t,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(af, bf)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def mul(a: jax.Array, b: jax.Array, tile: int = DEFAULT_TILE) -> jax.Array:
+    """Batched Montgomery multiply on (16, *batch) limb arrays."""
+    return _binop(_mul_kernel, a, b, tile)
+
+
+def _add_kernel(a_ref, b_ref, o_ref):
+    out = fr.add_limb_lists(
+        [a_ref[i] for i in range(NUM_LIMBS)], [b_ref[i] for i in range(NUM_LIMBS)]
+    )
+    for i in range(NUM_LIMBS):
+        o_ref[i] = out[i]
+
+
+def _sub_kernel(a_ref, b_ref, o_ref):
+    out = fr.sub_limb_lists(
+        [a_ref[i] for i in range(NUM_LIMBS)], [b_ref[i] for i in range(NUM_LIMBS)]
+    )
+    for i in range(NUM_LIMBS):
+        o_ref[i] = out[i]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def add(a: jax.Array, b: jax.Array, tile: int = DEFAULT_TILE) -> jax.Array:
+    return _binop(_add_kernel, a, b, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def sub(a: jax.Array, b: jax.Array, tile: int = DEFAULT_TILE) -> jax.Array:
+    return _binop(_sub_kernel, a, b, tile)
+
+
+def _mul_scalar_kernel(c_ref, a_ref, o_ref):
+    la = [a_ref[i] for i in range(NUM_LIMBS)]
+    lc = [c_ref[i] for i in range(NUM_LIMBS)]
+    out = fr.mul_limb_lists(la, lc)
+    for i in range(NUM_LIMBS):
+        o_ref[i] = out[i]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def mul_scalar(a: jax.Array, c: jax.Array, tile: int = DEFAULT_TILE) -> jax.Array:
+    """Multiply every element of (16, *batch) by one scalar (16,) value.
+
+    The scalar rides in SMEM so a single compiled kernel serves every
+    constant (twiddle bases, 1/N scalings, challenge powers, ...)."""
+    af, shape = _flatten(a)
+    n = af.shape[-1]
+    t = min(tile, n)
+    while n % t:
+        t //= 2
+    spec = pl.BlockSpec((NUM_LIMBS, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _mul_scalar_kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n), af.dtype),
+        grid=(n // t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(c, af)
+    return out.reshape(shape)

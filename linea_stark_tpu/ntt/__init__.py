@@ -1,29 +1,21 @@
 """NTT / low-degree-extension layer (p3-dft equivalent)."""
 
 from .ntt import (
-    bit_reverse,
-    bit_reverse_indices,
-    coeffs_bitrev_to_evals,
+    coeffs_to_evals,
     coset_lde,
-    evals_to_coeffs_bitrev,
+    evals_to_coeffs,
     intt,
     ntt,
-    ntt_dif,
-    ntt_dit,
-    pad_coeffs_bitrev,
+    pad_coeffs,
     root_of_unity,
 )
 
 __all__ = [
-    "bit_reverse",
-    "bit_reverse_indices",
-    "coeffs_bitrev_to_evals",
+    "coeffs_to_evals",
     "coset_lde",
-    "evals_to_coeffs_bitrev",
+    "evals_to_coeffs",
     "intt",
     "ntt",
-    "ntt_dif",
-    "ntt_dit",
-    "pad_coeffs_bitrev",
+    "pad_coeffs",
     "root_of_unity",
 ]

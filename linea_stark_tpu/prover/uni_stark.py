@@ -1,0 +1,583 @@
+"""Uni-STARK prove/verify over the two-adic FRI PCS.
+
+TPU-native re-design of p3-uni-stark + p3-fri's ``TwoAdicFriPcs``
+(bin/src/main.rs:80-96; pipeline structure and cost profile in SURVEY.md
+§3.3).  The heavy phases — LDE, Merkle sweeps, quotient evaluation, opening
+reduction, FRI folds — are whole-domain device computations; the challenger
+observe/sample points between phases are the only host↔device syncs, exactly
+the device-boundary view of SURVEY.md §3.3.
+
+Transcript order (prover and verifier replay this exactly; the challenger is
+fresh per prove/verify as in bin/src/main.rs:78,88):
+
+    observe(log_n); observe(width); observe(trace_root)
+    observe(alpha); observe(delta)                  # public values
+    gamma   = sample()                              # constraint folding
+    observe(quotient_root)
+    zeta    = sample()                              # out-of-domain point
+    observe(trace@zeta ..W); observe(trace@zeta·g ..W); observe(chunks@zeta ..8)
+    alpha_p = sample()                              # opening reduction
+    for each fold level l = 0..L-1:
+        beta_l = sample(); [commit folded level, observe root]   (last level:
+        no commit — its polynomial is sent directly)
+    observe(final_poly coefficients)
+    pow witness grind/check (proof_of_work_bits)
+    query indices = sample_bits(log_lde - 1) × num_queries
+
+Quotient decomposition: the quotient (degree < 2·n after selector division)
+is evaluated on the whole LDE domain and split by cosets: chunk i carries the
+values at indices ≡ i mod blowup — a polynomial of degree < n on coset
+c_i = shift·ω^i (reference: 8 chunks of 1×2^19, bench.log:22-30).  The
+verifier recomposes q(ζ) = Σ_i q_i(ζ)·Π_{j≠i}(ζ^n − c_j^n)/(c_i^n − c_j^n),
+using that x^n is constant on each coset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import fr_ops as fo
+from ..air.algebra import ScalarAlgebra, VectorAlgebra
+from ..air.gadgets import LineaAir, Sel
+from ..challenger import HashChallenger
+from ..config import StarkConfig
+from ..field import fr, oracle
+from ..field.constants import NUM_LIMBS, R_MOD
+from ..fri.fold import fold_codeword, fold_pair_int
+from ..merkle import mmcs
+from ..ntt import coset_lde, evals_to_coeffs, ntt
+from ..ntt.ntt import _powers_device, root_of_unity
+from ..utils.timing import span
+from .proof import FriProof, Proof, QueryProof
+
+
+def _selector_factors(sel: Sel, zeta: int, n: int, z_h: int, omega_n: int) -> int:
+    """Scalar Z-compensated selector factors at ζ (see quotient notes)."""
+    last = pow(omega_n, n - 1, R_MOD)
+    if sel == Sel.EVERY:
+        return 1
+    if sel == Sel.FIRST:
+        return oracle.mul(z_h, oracle.inv(oracle.sub(zeta, 1)))
+    if sel == Sel.LAST:
+        return oracle.mul(z_h, oracle.inv(oracle.sub(zeta, last)))
+    return oracle.sub(zeta, last)  # TRANSITION
+
+
+def _barycentric_open(
+    matrix_lde: jax.Array,
+    z: int,
+    shift: int,
+    denom_inv: jax.Array,
+    x_vec: jax.Array,
+) -> list:
+    """Evaluate every committed column at out-of-domain z from its LDE evals.
+
+    p(z) = (z^N − s^N)/(N·s^N) · Σ_j p(x_j)·x_j/(z−x_j)
+    (the "compute opened values with Lagrange interpolation" +
+    "inverse denominators" steps of the profile, bench.log:32-34).
+    Returns canonical ints per column.
+    """
+    n = matrix_lde.shape[-1]
+    s_n = pow(shift, n, R_MOD)
+    const = oracle.mul(
+        oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
+    )
+    u = fo.mul(x_vec, denom_inv)  # shared across columns
+    sums = fo.tree_sum(fo.mul(matrix_lde, u[:, None]))  # (16, W)
+    vals = fr.unpack_ints(np.asarray(sums))
+    return [oracle.mul(v, const) for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# Quotient
+# ---------------------------------------------------------------------------
+
+def compute_quotient(
+    trace_lde: jax.Array,
+    air: LineaAir,
+    alpha: int,
+    delta: int,
+    gamma: int,
+    n: int,
+    shift: int,
+) -> jax.Array:
+    """Vectorized constraint evaluation over the LDE domain -> quotient evals.
+
+    ``next`` row access is a roll by `blowup` (one original-domain step on
+    the LDE grid).  Constraints are folded with γ^k in enumeration order,
+    grouped by selector so each selector/vanishing factor multiplies one
+    accumulated vector (bench.log:21 "compute quotient polynomial").
+    """
+    n_lde = trace_lde.shape[-1]
+    blowup = n_lde // n
+    log_lde = n_lde.bit_length() - 1
+    omega_lde = root_of_unity(log_lde)
+    omega_n = root_of_unity(n.bit_length() - 1)
+
+    alg = VectorAlgebra((n_lde,))
+    alpha_d = fr.full((n_lde,), alpha)
+    delta_d = fr.full((n_lde,), delta)
+
+    rolled = jnp.roll(trace_lde, -blowup, axis=-1)
+    local = lambda i: trace_lde[:, i]
+    nxt = lambda i: rolled[:, i]
+
+    acc = {s: None for s in Sel}
+    gk = 1
+    for sel, val in air.eval(local, nxt, alpha_d, delta_d, alg):
+        term = fo.mul_const(val, gk)
+        acc[sel] = term if acc[sel] is None else fo.add(acc[sel], term)
+        gk = oracle.mul(gk, gamma)
+
+    # Domain vectors.
+    x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), shift)
+    # Z_H(x) = x^n − 1 is blowup-periodic on the LDE domain.
+    s_n = pow(shift, n, R_MOD)
+    omega_b = pow(omega_lde, n, R_MOD)  # order `blowup`
+    z_vals = [
+        oracle.sub(oracle.mul(s_n, pow(omega_b, i, R_MOD)), 1) for i in range(blowup)
+    ]
+    inv_z = jnp.tile(
+        jnp.asarray(fr.pack_ints([oracle.inv(z) for z in z_vals])), n_lde // blowup
+    )
+    last = pow(omega_n, n - 1, R_MOD)
+    one_v = fr.ones((n_lde,))
+    x_minus_1_inv = fo.batch_inverse(fo.sub(x_vec, one_v))
+    x_minus_last_inv = fo.batch_inverse(
+        fo.sub(x_vec, fr.full((n_lde,), last))
+    )
+
+    q = fr.zeros((n_lde,))
+    if acc[Sel.EVERY] is not None:
+        q = fo.add(q, fo.mul(acc[Sel.EVERY], inv_z))
+    if acc[Sel.FIRST] is not None:
+        q = fo.add(q, fo.mul(acc[Sel.FIRST], x_minus_1_inv))
+    if acc[Sel.LAST] is not None:
+        q = fo.add(q, fo.mul(acc[Sel.LAST], x_minus_last_inv))
+    if acc[Sel.TRANSITION] is not None:
+        t = fo.mul(acc[Sel.TRANSITION], fo.sub(x_vec, fr.full((n_lde,), last)))
+        q = fo.add(q, fo.mul(t, inv_z))
+    return q
+
+
+def _chunk_ldes_batched(
+    chunks: jax.Array, log_blowup: int, shift: int, omega_lde: int
+) -> jax.Array:
+    """LDE all quotient chunks in one batched transform.
+
+    chunks: (16, B, n) — chunk i's evals on its own coset c_i = shift·ω^i.
+    Returns (16, B, n·2^log_blowup) evals on shift·H_big per chunk.  The
+    per-chunk inverse-coset scale is one (16, B, n) elementwise multiply with
+    S[i, d] = shift^{-d}·ω^{-i·d}, built by block doubling, so the NTTs run
+    with B as a plain batch axis (vs the reference's 8 sequential
+    coset_lde_batch calls of 1×n, bench.log:23-30).
+    """
+    from .. import fr_ops as fo
+    from ..ntt import ntt as ntt_fwd
+    from ..ntt.ntt import _coset_scale, pad_coeffs
+
+    b, n = chunks.shape[1], chunks.shape[-1]
+    coeffs = ntt(chunks, inverse=True, scale=True)
+    # S[i, d] = c_i^{-d}: rows double over i with R[d] = ω^{-d·K}.
+    inv_shift = pow(shift, R_MOD - 2, R_MOD)
+    inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
+    row0 = _powers_device(inv_shift, n)  # shift^{-d}
+    cur = row0[:, None, :]
+    size = 1
+    while size < b:
+        r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
+        cur = jnp.concatenate([cur, fo.mul(cur, r_k[:, None, :])], axis=1)
+        size *= 2
+    coeffs = fo.mul(coeffs, cur[:, :b])
+    padded = pad_coeffs(coeffs, log_blowup)
+    big_n = n << log_blowup
+    scale = _coset_scale(big_n, shift)
+    padded = fo.mul(padded, scale[:, None, :])
+    return ntt_fwd(padded)
+
+
+# ---------------------------------------------------------------------------
+# Prove
+# ---------------------------------------------------------------------------
+
+def prove(
+    config: StarkConfig,
+    air: LineaAir,
+    trace: jax.Array,
+    public_values: list,
+    challenger: HashChallenger,
+) -> Proof:
+    """trace: (16, W, n) Montgomery limbs; public_values = [alpha, delta]."""
+    alpha, delta = public_values
+    fri_cfg = config.fri
+    shift = config.coset_shift
+    hp = config.hash_params
+
+    w = trace.shape[1]
+    n = trace.shape[-1]
+    log_n = n.bit_length() - 1
+    log_lde = log_n + fri_cfg.log_blowup
+    n_lde = 1 << log_lde
+    blowup = fri_cfg.blowup
+    omega_lde = root_of_unity(log_lde)
+    omega_n = root_of_unity(log_n)
+
+    # --- commit to trace data (bench.log:19) -------------------------------
+    with span("commit trace", dims=f"{w}x{n}", added_bits=fri_cfg.log_blowup):
+        with span("coset_lde_batch"):
+            trace_lde = coset_lde(trace, fri_cfg.log_blowup, shift)
+        with span("merkle commit"):
+            trace_tree = mmcs.commit([trace_lde], hp)
+    trace_root = trace_tree.root_int()
+
+    challenger.observe(log_n)
+    challenger.observe(w)
+    challenger.observe(trace_root)
+    challenger.observe(alpha)
+    challenger.observe(delta)
+    gamma = challenger.sample()
+
+    # --- quotient ----------------------------------------------------------
+    with span("compute quotient polynomial"):
+        q_evals = compute_quotient(trace_lde, air, alpha, delta, gamma, n, shift)
+
+    # Split by cosets: chunk i = values at indices ≡ i (mod blowup).
+    with span("commit quotient chunks"):
+        chunks = q_evals.reshape(NUM_LIMBS, n, blowup).transpose(0, 2, 1)  # (16,B,n)
+        with span("coset_lde_batch", dims=f"{blowup}x{n}"):
+            chunk_stack = _chunk_ldes_batched(
+                chunks, fri_cfg.log_blowup, shift, omega_lde
+            )  # (16, B, n_lde)
+        chunk_ldes = [chunk_stack[:, i : i + 1] for i in range(blowup)]
+        with span("merkle commit"):
+            quotient_tree = mmcs.commit(chunk_ldes, hp)
+    quotient_root = quotient_tree.root_int()
+
+    challenger.observe(quotient_root)
+    zeta = challenger.sample()
+    zeta_next = oracle.mul(zeta, omega_n)
+
+    # --- open (bench.log:31) ----------------------------------------------
+    with span("open"):
+        x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), shift)
+        with span("compute_inverse_denominators"):
+            zeta_v = fr.full((n_lde,), zeta)
+            zeta_next_v = fr.full((n_lde,), zeta_next)
+            di_stack = fo.batch_inverse(
+                jnp.stack(
+                    [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)], axis=1
+                ).reshape(NUM_LIMBS, 2 * n_lde)
+            ).reshape(NUM_LIMBS, 2, n_lde)
+            denom_inv_zeta, denom_inv_next = di_stack[:, 0], di_stack[:, 1]
+
+        with span("opened values (barycentric)"):
+            trace_at_zeta = _barycentric_open(
+                trace_lde, zeta, shift, denom_inv_zeta, x_vec
+            )
+            trace_at_zeta_next = _barycentric_open(
+                trace_lde, zeta_next, shift, denom_inv_next, x_vec
+            )
+            chunks_at_zeta = _barycentric_open(
+                chunk_stack, zeta, shift, denom_inv_zeta, x_vec
+            )
+
+        for v in trace_at_zeta:
+            challenger.observe(v)
+        for v in trace_at_zeta_next:
+            challenger.observe(v)
+        for v in chunks_at_zeta:
+            challenger.observe(v)
+        alpha_p = challenger.sample()
+
+        # Reduced codeword f0 = Σ α^k (col(x) − y)/(x − z), k over
+        # [trace@ζ cols, trace@ζg cols, chunks@ζ].
+        with span("reduce matrix quotient"):
+            f0 = fr.zeros((n_lde,))
+            k = 1
+            for mat, ys, dinv in (
+                (trace_lde, trace_at_zeta, denom_inv_zeta),
+                (trace_lde, trace_at_zeta_next, denom_inv_next),
+                (chunk_stack, chunks_at_zeta, denom_inv_zeta),
+            ):
+                num = fr.zeros((n_lde,))
+                for c in range(mat.shape[1]):
+                    col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
+                    num = fo.add(num, fo.mul_const(col, k))
+                    k = oracle.mul(k, alpha_p)
+                f0 = fo.add(f0, fo.mul(num, dinv))
+
+    # --- FRI commit phase (bench.log:63-64) --------------------------------
+    with span("FRI prover"):
+        final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
+        f = f0
+        cur_shift, cur_omega, size = shift, omega_lde, n_lde
+        betas, fold_trees, fold_roots = [], [], []
+        while size > final_size:
+            beta = challenger.sample()
+            betas.append(beta)
+            f = fold_codeword(f, beta, cur_shift, cur_omega)
+            cur_shift = (cur_shift * cur_shift) % R_MOD
+            cur_omega = (cur_omega * cur_omega) % R_MOD
+            size //= 2
+            if size > final_size:
+                halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
+                t = mmcs.commit([halves], hp)
+                fold_trees.append(t)
+                root = t.root_int()
+                fold_roots.append(root)
+                challenger.observe(root)
+
+        # Final polynomial: iNTT on its coset, degree < 2^log_final_poly_len.
+        final_coeffs_arr = evals_to_coeffs(f, cur_shift)
+        final_all = fr.unpack_ints(np.asarray(final_coeffs_arr))
+        n_final = 1 << fri_cfg.log_final_poly_len
+        final_poly = final_all[:n_final]
+        if config.check_trace:
+            assert all(
+                v == 0 for v in final_all[n_final:]
+            ), "final codeword not low degree"
+        for c in final_poly:
+            challenger.observe(c)
+
+        with span("grind PoW"):
+            pow_witness = (
+                challenger.grind(fri_cfg.proof_of_work_bits)
+                if fri_cfg.proof_of_work_bits > 0
+                else 0
+            )
+            if fri_cfg.proof_of_work_bits == 0:
+                challenger.observe(pow_witness)
+                assert challenger.sample_bits(0) == 0
+
+        # --- query phase ---------------------------------------------------
+        with span("query phase"):
+            half0 = n_lde // 2
+            indices = [
+                challenger.sample_bits(log_lde - 1) for _ in range(fri_cfg.num_queries)
+            ]
+            query_proofs = []
+            trace_open_pairs = _open_pairs(trace_tree, indices, half0)
+            quot_open_pairs = _open_pairs(quotient_tree, indices, half0)
+            level_openings = []
+            for li, t in enumerate(fold_trees):
+                lv_half = t.matrices[0].shape[-1]  # height of halves matrix
+                pos = [idx % lv_half for idx in indices]
+                level_openings.append(mmcs.open_at(t, pos))
+            for qi in range(fri_cfg.num_queries):
+                query_proofs.append(
+                    QueryProof(
+                        input_openings=[
+                            [trace_open_pairs[0][qi], trace_open_pairs[1][qi]],
+                            [quot_open_pairs[0][qi], quot_open_pairs[1][qi]],
+                        ],
+                        commit_openings=[lo[qi] for lo in level_openings],
+                    )
+                )
+
+    return Proof(
+        log_n=log_n,
+        width=w,
+        trace_root=trace_root,
+        quotient_root=quotient_root,
+        trace_at_zeta=trace_at_zeta,
+        trace_at_zeta_next=trace_at_zeta_next,
+        quotient_chunks_at_zeta=chunks_at_zeta,
+        fri=FriProof(
+            commit_roots=fold_roots,
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+            query_proofs=query_proofs,
+        ),
+    )
+
+
+def _open_pairs(tree, indices, half):
+    lo = mmcs.open_at(tree, indices)
+    hi = mmcs.open_at(tree, [i + half for i in indices])
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Verify
+# ---------------------------------------------------------------------------
+
+class VerificationError(Exception):
+    pass
+
+
+def verify(
+    config: StarkConfig,
+    air: LineaAir,
+    proof: Proof,
+    public_values: list,
+    challenger: HashChallenger,
+) -> None:
+    """Raises VerificationError on any failed check (scalar, host-side)."""
+    alpha, delta = public_values
+    fri_cfg = config.fri
+    shift = config.coset_shift
+    hp = config.hash_params
+
+    n = 1 << proof.log_n
+    w = proof.width
+    if w != air.width:
+        raise VerificationError("width mismatch with AIR")
+    log_lde = proof.log_n + fri_cfg.log_blowup
+    n_lde = 1 << log_lde
+    blowup = fri_cfg.blowup
+    omega_lde = root_of_unity(log_lde)
+    omega_n = root_of_unity(proof.log_n)
+
+    # --- replay transcript -------------------------------------------------
+    challenger.observe(proof.log_n)
+    challenger.observe(w)
+    challenger.observe(proof.trace_root)
+    challenger.observe(alpha)
+    challenger.observe(delta)
+    gamma = challenger.sample()
+    challenger.observe(proof.quotient_root)
+    zeta = challenger.sample()
+    zeta_next = oracle.mul(zeta, omega_n)
+    for v in proof.trace_at_zeta:
+        challenger.observe(v)
+    for v in proof.trace_at_zeta_next:
+        challenger.observe(v)
+    for v in proof.quotient_chunks_at_zeta:
+        challenger.observe(v)
+    alpha_p = challenger.sample()
+
+    final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
+    num_levels = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
+    betas = []
+    if len(proof.fri.commit_roots) != max(num_levels - 1, 0):
+        raise VerificationError("wrong number of FRI commitments")
+    for li in range(num_levels):
+        betas.append(challenger.sample())
+        if li < num_levels - 1:
+            challenger.observe(proof.fri.commit_roots[li])
+    if len(proof.fri.final_poly) != 1 << fri_cfg.log_final_poly_len:
+        raise VerificationError("bad final poly length")
+    for c in proof.fri.final_poly:
+        challenger.observe(c)
+    if not challenger.check_witness(fri_cfg.proof_of_work_bits, proof.fri.pow_witness):
+        raise VerificationError("proof-of-work check failed")
+    indices = [
+        challenger.sample_bits(log_lde - 1) for _ in range(fri_cfg.num_queries)
+    ]
+
+    # --- quotient identity at ζ (AIR re-evaluation, air/src/lib.rs:48-53) --
+    alg = ScalarAlgebra()
+    local = lambda i: proof.trace_at_zeta[i]
+    nxt = lambda i: proof.trace_at_zeta_next[i]
+    z_h = oracle.sub(pow(zeta, n, R_MOD), 1)
+    if z_h == 0:
+        raise VerificationError("zeta in trace domain")
+    folded = 0
+    gk = 1
+    for sel, val in air.eval(local, nxt, alpha, delta, alg):
+        sf = _selector_factors(sel, zeta, n, z_h, omega_n)
+        folded = oracle.add(folded, oracle.mul(oracle.mul(gk, sf), val))
+        gk = oracle.mul(gk, gamma)
+
+    # recompose q(ζ) from chunk openings
+    s_n = pow(shift, n, R_MOD)
+    omega_b = pow(omega_lde, n, R_MOD)
+    c_n = [oracle.mul(s_n, pow(omega_b, i, R_MOD)) for i in range(blowup)]
+    zeta_n = pow(zeta, n, R_MOD)
+    q_zeta = 0
+    for i in range(blowup):
+        li = 1
+        for j in range(blowup):
+            if j != i:
+                li = oracle.mul(
+                    li,
+                    oracle.mul(
+                        oracle.sub(zeta_n, c_n[j]),
+                        oracle.inv(oracle.sub(c_n[i], c_n[j])),
+                    ),
+                )
+        q_zeta = oracle.add(
+            q_zeta, oracle.mul(proof.quotient_chunks_at_zeta[i], li)
+        )
+    if folded != oracle.mul(z_h, q_zeta):
+        raise VerificationError("quotient identity failed at zeta")
+
+    # --- FRI query checks --------------------------------------------------
+    trace_hw = [(n_lde, w)]
+    quot_hw = [(n_lde, 1)] * blowup
+    half0 = n_lde // 2
+
+    for qi, idx in enumerate(indices):
+        qp = proof.fri.query_proofs[qi]
+        (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
+        for opening, root, hws, want_idx in (
+            (t_lo, proof.trace_root, trace_hw, idx),
+            (t_hi, proof.trace_root, trace_hw, idx + half0),
+            (q_lo, proof.quotient_root, quot_hw, idx),
+            (q_hi, proof.quotient_root, quot_hw, idx + half0),
+        ):
+            if opening.index != want_idx:
+                raise VerificationError("opening index mismatch")
+            if not mmcs.verify_opening(root, hws, opening, hp):
+                raise VerificationError("input Merkle opening failed")
+
+        def reduced_at(x: int, t_open, q_open) -> int:
+            acc = 0
+            k = 1
+            for rows, z, ys in (
+                (t_open.rows[0], zeta, proof.trace_at_zeta),
+                (t_open.rows[0], zeta_next, proof.trace_at_zeta_next),
+                ([r[0] for r in q_open.rows], zeta, proof.quotient_chunks_at_zeta),
+            ):
+                num = 0
+                for c, rv in enumerate(rows):
+                    num = oracle.add(
+                        num, oracle.mul(k, oracle.sub(rv, ys[c]))
+                    )
+                    k = oracle.mul(k, alpha_p)
+                acc = oracle.add(
+                    acc, oracle.mul(num, oracle.inv(oracle.sub(x, z)))
+                )
+            return acc
+
+        x_lo = oracle.mul(shift, pow(omega_lde, idx, R_MOD))
+        f_lo = reduced_at(x_lo, t_lo, q_lo)
+        f_hi = reduced_at(oracle.neg(x_lo), t_hi, q_hi)
+
+        v = fold_pair_int(f_lo, f_hi, x_lo, betas[0])
+        pos = idx
+        cur_shift = (shift * shift) % R_MOD
+        cur_omega = (omega_lde * omega_lde) % R_MOD
+        size = half0  # size of current folded codeword
+        for li in range(1, num_levels):
+            lv_half = size // 2
+            p = pos % lv_half
+            op = qp.commit_openings[li - 1]
+            if op.index != p:
+                raise VerificationError("fold opening index mismatch")
+            if not mmcs.verify_opening(
+                proof.fri.commit_roots[li - 1], [(lv_half, 2)], op, hp
+            ):
+                raise VerificationError("fold Merkle opening failed")
+            lo_v, hi_v = op.rows[0]
+            expect = lo_v if pos < lv_half else hi_v
+            if v != expect:
+                raise VerificationError("fold consistency failed")
+            x_p = oracle.mul(cur_shift, pow(cur_omega, p, R_MOD))
+            v = fold_pair_int(lo_v, hi_v, x_p, betas[li])
+            pos = p
+            cur_shift = (cur_shift * cur_shift) % R_MOD
+            cur_omega = (cur_omega * cur_omega) % R_MOD
+            size = lv_half
+
+        # final check against the final polynomial
+        x_fin = oracle.mul(cur_shift, pow(cur_omega, pos, R_MOD))
+        acc = 0
+        for c in reversed(proof.fri.final_poly):
+            acc = oracle.add(oracle.mul(acc, x_fin), c)
+        if v != acc:
+            raise VerificationError("final polynomial check failed")

@@ -7,10 +7,18 @@ import os
 # test imports jax functionality*.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # Pinning the CPU ISA makes persistent-cache entries loadable across
+    # processes (feature-mismatched AOT entries segfault on load).
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
     ).strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the limb-arithmetic graphs are wide and XLA
+# CPU compiles them slowly; cache once, reuse across test runs.
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -8,12 +8,11 @@ import jax.numpy as jnp
 from linea_stark_tpu.field import fr, oracle
 from linea_stark_tpu.field.constants import R_MOD
 from linea_stark_tpu.ntt import (
-    bit_reverse_indices,
+    coeffs_to_evals,
     coset_lde,
+    evals_to_coeffs,
     intt,
     ntt,
-    ntt_dif,
-    ntt_dit,
     root_of_unity,
 )
 
@@ -57,21 +56,24 @@ def test_intt_round_trip():
     assert from_dev(intt(ntt(to_dev(vals)))) == vals
 
 
-def test_dif_is_bitrev_of_ntt():
+def test_coeffs_evals_round_trip():
     n = 16
-    vals = [rng.randrange(R_MOD) for _ in range(n)]
-    rev = bit_reverse_indices(n)
-    full = from_dev(ntt(to_dev(vals)))
-    dif = from_dev(ntt_dif(to_dev(vals)))
-    assert [dif[rev[i]] for i in range(n)] == full
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    w = root_of_unity(4)
+    evals = [naive_poly_eval(coeffs, pow(w, i, R_MOD)) for i in range(n)]
+    assert from_dev(coeffs_to_evals(to_dev(coeffs))) == evals
+    assert from_dev(evals_to_coeffs(to_dev(evals))) == coeffs
 
 
-def test_dit_consumes_bitrev():
-    n = 16
-    vals = [rng.randrange(R_MOD) for _ in range(n)]
-    rev = bit_reverse_indices(n)
-    x = to_dev(vals)
-    assert from_dev(ntt_dit(jnp.take(x, jnp.asarray(rev), axis=-1))) == from_dev(ntt(x))
+def test_coset_evals_round_trip():
+    n, shift = 16, 5
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    w = root_of_unity(4)
+    evals = [
+        naive_poly_eval(coeffs, shift * pow(w, i, R_MOD) % R_MOD) for i in range(n)
+    ]
+    assert from_dev(coeffs_to_evals(to_dev(coeffs), shift)) == evals
+    assert from_dev(evals_to_coeffs(to_dev(evals), shift)) == coeffs
 
 
 def test_batched_ntt():
@@ -123,3 +125,17 @@ def test_coset_lde_from_source_coset():
     ]
     got = from_dev(coset_lde(to_dev(evals), added, shift, src_shift_int=src_shift))
     assert got == expect
+
+
+def test_pallas_four_step_matches_xla():
+    """The Pallas four-step path (interpret mode on CPU) agrees with XLA."""
+    import os
+
+    from linea_stark_tpu.kernels.pallas_ntt import ntt_pallas
+
+    n = 1 << 8  # 2^4 x 2^4 four-step split
+    vals = [rng.randrange(R_MOD) for _ in range(n)]
+    x = to_dev(vals)
+    ref = ntt(x)  # CPU default backend = XLA
+    got = ntt_pallas(x)
+    assert from_dev(got) == from_dev(ref)

@@ -1,0 +1,92 @@
+"""End-to-end prove -> verify (the reference's de-facto integration test,
+bin/src/main.rs:80-96)."""
+
+import pytest
+
+from linea_stark_tpu.challenger import HashChallenger
+from linea_stark_tpu.config import FriConfig, StarkConfig
+from linea_stark_tpu.field.constants import R_MOD
+from linea_stark_tpu.prover import VerificationError, prove, verify
+from linea_stark_tpu.prover.proof import Proof
+from linea_stark_tpu.trace import build_trace, gen_lookup_trace, gen_permutation_trace
+
+ALPHA = 0x5DEECE66D % R_MOD
+DELTA = 0xB1E32C5 % R_MOD
+
+CFG = StarkConfig(fri=FriConfig(log_blowup=2, log_final_poly_len=0, num_queries=8,
+                                proof_of_work_bits=2))
+
+
+def _prove_built(built, cfg=CFG):
+    ch = HashChallenger((), cfg.hash_params)
+    return prove(cfg, built.air, built.matrix, [ALPHA, DELTA], ch)
+
+
+def _verify(built, proof, cfg=CFG):
+    ch = HashChallenger((), cfg.hash_params)
+    verify(cfg, built.air, proof, [ALPHA, DELTA], ch)
+
+
+def test_permutation_prove_verify():
+    raw = gen_permutation_trace(width=3, height=16, seed=1)
+    built = build_trace([raw], [], ALPHA, DELTA)
+    proof = _prove_built(built)
+    _verify(built, proof)
+
+
+def test_proof_serialization_round_trip():
+    raw = gen_permutation_trace(width=2, height=8, seed=2)
+    built = build_trace([raw], [], ALPHA, DELTA)
+    proof = _prove_built(built)
+    data = proof.to_bytes()
+    back = Proof.from_bytes(data)
+    _verify(built, back)
+
+
+def test_lookup_prove_verify():
+    raw = gen_lookup_trace(a_width=2, height=16, num_b_tables=1, seed=3)
+    built = build_trace([], [raw], ALPHA, DELTA)
+    proof = _prove_built(built)
+    _verify(built, proof)
+
+
+def test_tampered_proof_rejected():
+    raw = gen_permutation_trace(width=2, height=8, seed=4)
+    built = build_trace([raw], [], ALPHA, DELTA)
+    proof = _prove_built(built)
+
+    import copy
+
+    p = copy.deepcopy(proof)
+    p.quotient_chunks_at_zeta[0] = (p.quotient_chunks_at_zeta[0] + 1) % R_MOD
+    with pytest.raises(VerificationError):
+        _verify(built, p)
+
+    p = copy.deepcopy(proof)
+    p.trace_at_zeta[0] = (p.trace_at_zeta[0] + 1) % R_MOD
+    with pytest.raises(VerificationError):
+        _verify(built, p)
+
+    p = copy.deepcopy(proof)
+    p.fri.final_poly[0] = (p.fri.final_poly[0] + 1) % R_MOD
+    with pytest.raises(VerificationError):
+        _verify(built, p)
+
+    p = copy.deepcopy(proof)
+    p.fri.pow_witness += 1
+    with pytest.raises(VerificationError):
+        _verify(built, p)
+
+    p = copy.deepcopy(proof)
+    p.fri.query_proofs[0].input_openings[0][0].rows[0][0] ^= 1
+    with pytest.raises(VerificationError):
+        _verify(built, p)
+
+
+def test_wrong_public_values_rejected():
+    raw = gen_permutation_trace(width=2, height=8, seed=5)
+    built = build_trace([raw], [], ALPHA, DELTA)
+    proof = _prove_built(built)
+    ch = HashChallenger((), CFG.hash_params)
+    with pytest.raises(VerificationError):
+        verify(CFG, built.air, proof, [ALPHA, (DELTA + 1) % R_MOD], ch)
