@@ -58,15 +58,13 @@ def main() -> int:
     built.matrix.block_until_ready()
     print(f"trace build: {time.time() - t0:.2f}s", file=sys.stderr)
 
-    # Warm-up pass at a smaller height populates kernel caches without
-    # polluting the headline number (first-ever runs pay remote compiles).
+    # Warm-up pass at the same height: first execution pays one-time remote
+    # kernel compiles / cache loads; the headline number is the steady state.
     warm = os.environ.get("BENCH_WARMUP", "1") == "1"
-    if warm and log_h > 12:
-        wraw = gen_permutation_trace(width, 1 << 12, seed=8)
-        wbuilt = build_trace([wraw], [], alpha, delta, check=False)
+    if warm:
         t0 = time.time()
-        prove(config, wbuilt.air, wbuilt.matrix, [alpha, delta], HashChallenger())
-        print(f"warmup prove (2^12): {time.time() - t0:.2f}s", file=sys.stderr)
+        prove(config, built.air, built.matrix, [alpha, delta], HashChallenger())
+        print(f"warmup prove: {time.time() - t0:.2f}s", file=sys.stderr)
 
     timing.reset()
     t0 = time.time()

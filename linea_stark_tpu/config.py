@@ -35,6 +35,16 @@ class StarkConfig:
     fri: FriConfig = field(default_factory=FriConfig)
     hash_params: Poseidon2Params = field(default_factory=lambda: DEFAULT_PARAMS)
     coset_shift: int = COSET_SHIFT
+    # Merkle hasher sweep: "poseidon2" (default) or "keccak"
+    # (bin/src/config.rs:11-18 swappable aliases; BASELINE.json configs).
+    hasher: str = "poseidon2"
     # Enforce trace self-checks during build (reference asserts,
     # trace/src/permutation.rs:76-79, trace/src/lookup.rs:165-168).
     check_trace: bool = True
+
+    def mmcs_hasher(self):
+        from .hash.hasher import KeccakHasher, Poseidon2Hasher
+
+        if self.hasher == "keccak":
+            return KeccakHasher()
+        return Poseidon2Hasher(self.hash_params)

@@ -23,17 +23,27 @@ from .field import fr, oracle
 from .field.constants import NUM_LIMBS, R_MOD, to_limbs
 
 
+def _broadcast_pair(a, b):
+    """Broadcast two (16, *batch) arrays to a common batch shape (the batch
+    part broadcasts right-aligned, numpy-style; axis 0 is always limbs)."""
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def align(x):
+        xb = x.shape[1:]
+        pad = (1,) * (len(batch) - len(xb))
+        x = x.reshape((NUM_LIMBS,) + pad + xb)
+        return jnp.broadcast_to(x, (NUM_LIMBS, *batch))
+
+    return align(a), align(b)
+
+
 def mul(a, b):
     if use_pallas():
         from .kernels import pallas_field as pf
 
-        if a.shape == b.shape:
-            return pf.mul(a, b)
-        # broadcast: expand the smaller operand
-        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        a2 = jnp.broadcast_to(a, (NUM_LIMBS, *shape))
-        b2 = jnp.broadcast_to(b, (NUM_LIMBS, *shape))
-        return pf.mul(a2, b2)
+        if a.shape != b.shape:
+            a, b = _broadcast_pair(a, b)
+        return pf.mul(a, b)
     return fr.mul(a, b)
 
 
@@ -41,13 +51,9 @@ def add(a, b):
     if use_pallas():
         from .kernels import pallas_field as pf
 
-        if a.shape == b.shape:
-            return pf.add(a, b)
-        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        return pf.add(
-            jnp.broadcast_to(a, (NUM_LIMBS, *shape)),
-            jnp.broadcast_to(b, (NUM_LIMBS, *shape)),
-        )
+        if a.shape != b.shape:
+            a, b = _broadcast_pair(a, b)
+        return pf.add(a, b)
     return fr.add(a, b)
 
 
@@ -55,13 +61,9 @@ def sub(a, b):
     if use_pallas():
         from .kernels import pallas_field as pf
 
-        if a.shape == b.shape:
-            return pf.sub(a, b)
-        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        return pf.sub(
-            jnp.broadcast_to(a, (NUM_LIMBS, *shape)),
-            jnp.broadcast_to(b, (NUM_LIMBS, *shape)),
-        )
+        if a.shape != b.shape:
+            a, b = _broadcast_pair(a, b)
+        return pf.sub(a, b)
     return fr.sub(a, b)
 
 
@@ -77,14 +79,30 @@ def mul_const(a, c_int: int):
     return fr.mul_const(a, c_int)
 
 
+# Tables up to one block are generated host-side (microseconds per entry and
+# no kernel compile at all); larger ones extend block-at-a-time on device.
+_POWERS_BLOCK = 32768
+
+
 def powers(base_int: int, count: int) -> jax.Array:
-    """(16, count) table [1, w, ..., w^{count-1}] by block doubling."""
-    p = fr.ones((1,))
-    w_pow = base_int % R_MOD
-    while p.shape[-1] < count:
-        p = jnp.concatenate([p, mul_const(p, w_pow)], axis=-1)
-        w_pow = (w_pow * w_pow) % R_MOD
-    return p[..., :count]
+    """(16, count) table [1, w, ..., w^{count-1}].
+
+    Built on the host up to one block (Python pow is microseconds per entry
+    at these sizes), then extended with fixed-shape kernel multiplies
+    P[k+B..k+2B) = P[k..k+B)·w^B — so arbitrarily large tables reuse one
+    compiled (16, B) multiply instead of a log-chain of unique shapes."""
+    b = min(_POWERS_BLOCK, count)
+    base = base_int % R_MOD
+    first = [pow(base, i, R_MOD) for i in range(b)]
+    p = jnp.asarray(fr.pack_ints(first))
+    if count <= b:
+        return p[..., :count]
+    assert count % b == 0, "table size must be a multiple of the block"
+    blocks = [p]
+    step = pow(base, b, R_MOD)
+    for _ in range(count // b - 1):
+        blocks.append(mul_const(blocks[-1], step))
+    return jnp.concatenate(blocks, axis=-1)
 
 
 def _shift_fill(x: jax.Array, k: int, fill: jax.Array, reverse: bool) -> jax.Array:
@@ -156,6 +174,30 @@ def batch_inverse(x: jax.Array) -> jax.Array:
     total_inv = jnp.asarray(fr.pack_ints(inv_vals)).reshape(total.shape)
 
     return mul(mul(pre_exc, suf_exc), total_inv)
+
+
+def sum_to_ints(x: jax.Array) -> list:
+    """Field-sum along the last axis of (16, W, N); returns W canonical ints.
+
+    Pallas path: one accumulating block-sum kernel to (16, W, 128) partials,
+    finished host-side (a few thousand adds) — avoids the log N halving-shape
+    kernel zoo of tree_sum."""
+    if use_pallas() and x.shape[-1] >= 128:
+        from .kernels import pallas_field as pf
+
+        partials = np.asarray(pf.block_sums_128(x))
+        w = partials.shape[1]
+        # Montgomery residues add linearly; sum raw then convert once.
+        vals = fr.unpack_ints(partials.reshape(NUM_LIMBS, -1), mont=False)
+        out = []
+        for c in range(w):
+            acc = 0
+            for v in vals[c * 128 : (c + 1) * 128]:
+                acc = oracle.add(acc, v)
+            out.append(oracle.from_mont(acc))
+        return out
+    sums = tree_sum(x)
+    return fr.unpack_ints(np.asarray(sums), mont=True)
 
 
 def tree_sum(x: jax.Array) -> jax.Array:

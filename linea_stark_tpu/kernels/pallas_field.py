@@ -101,6 +101,66 @@ def sub(a: jax.Array, b: jax.Array, tile: int = DEFAULT_TILE) -> jax.Array:
     return _binop(_sub_kernel, a, b, tile)
 
 
+def _sum128_kernel(x_ref, o_ref):
+    """Reduce a (16, T) block to (16, 128) partial sums, accumulating across
+    the inner grid dimension (sequential on TPU)."""
+    j = pl.program_id(1)
+    t = x_ref.shape[-1]
+    rows = t // 128
+    v = [x_ref[i].reshape(rows, 128) for i in range(NUM_LIMBS)]
+    while rows > 1:
+        half = rows // 2
+        top = [x[:half] for x in v]
+        bot = [x[half:] for x in v]
+        v = fr.add_limb_lists(top, bot)
+        rows = half
+    partial = [x.reshape(128) for x in v]
+
+    @pl.when(j == 0)
+    def _():
+        for i in range(NUM_LIMBS):
+            o_ref[i] = partial[i]
+
+    @pl.when(j != 0)
+    def _():
+        acc = fr.add_limb_lists([o_ref[i] for i in range(NUM_LIMBS)], partial)
+        for i in range(NUM_LIMBS):
+            o_ref[i] = acc[i]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def block_sums_128(x: jax.Array, tile: int = 8192) -> jax.Array:
+    """(16, W, N) -> (16, W, 128) per-column partial field sums (N >= 128).
+
+    Runs on the flattened (16, W·N) view so blocks are plain (16, T) tiles;
+    the grid's outer dim walks columns, the inner dim accumulates into that
+    column's (16, 128) output tile."""
+    _, w, n = x.shape
+    t = min(tile, n)
+    while n % t:
+        t //= 2
+    assert t >= 128 and t % 128 == 0
+    flat = x.reshape(NUM_LIMBS, w * n)
+    blocks_per_col = n // t
+    out = pl.pallas_call(
+        _sum128_kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, w * 128), x.dtype),
+        grid=(w, blocks_per_col),
+        in_specs=[
+            pl.BlockSpec(
+                (NUM_LIMBS, t),
+                lambda wi, j, b=blocks_per_col: (0, wi * b + j),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_LIMBS, 128), lambda wi, j: (0, wi), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(flat)
+    return out.reshape(NUM_LIMBS, w, 128)
+
+
 def _mul_scalar_kernel(c_ref, a_ref, o_ref):
     la = [a_ref[i] for i in range(NUM_LIMBS)]
     lc = [c_ref[i] for i in range(NUM_LIMBS)]

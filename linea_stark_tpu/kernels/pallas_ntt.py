@@ -34,6 +34,7 @@ from .pallas_field import _interpret
 _PALLAS_MIN_N = 4096
 
 
+@functools.partial(jax.jit, static_argnames=("lanes_tile", "m_tile"))
 def _stage_axis2(v: jax.Array, w_stage: jax.Array, lanes_tile: int = 1024, m_tile: int = 8) -> jax.Array:
     """One Stockham stage over axis -2.  v: (16, C, L, M, S) -> (16, C, L/2, 2M, S)."""
     _, c, l_count, m, s = v.shape
@@ -52,8 +53,10 @@ def _stage_axis2(v: jax.Array, w_stage: jax.Array, lanes_tile: int = 1024, m_til
         lambda ci, l, jm, j2, half=half: (0, ci, l + half, jm, j2),
         memory_space=pltpu.VMEM,
     )
+    # Twiddles ride transposed (m, 16) so the block's trailing dims are
+    # (tm, 16) — TPU block shapes must tile (8, 128) or match the array.
     w_spec = pl.BlockSpec(
-        (NUM_LIMBS, tm), lambda ci, l, jm, j2: (0, jm), memory_space=pltpu.VMEM
+        (tm, NUM_LIMBS), lambda ci, l, jm, j2: (jm, 0), memory_space=pltpu.VMEM
     )
     o_spec = pl.BlockSpec(
         (NUM_LIMBS, 1, 1, 2, tm, t2),
@@ -64,7 +67,7 @@ def _stage_axis2(v: jax.Array, w_stage: jax.Array, lanes_tile: int = 1024, m_til
     def kernel(a_ref, b_ref, w_ref, o_ref):
         la = [a_ref[i, 0, 0] for i in range(NUM_LIMBS)]          # (tm, t2)
         lb = [b_ref[i, 0, 0] for i in range(NUM_LIMBS)]
-        lw = [w_ref[i].reshape(tm, 1) for i in range(NUM_LIMBS)]  # broadcast lanes
+        lw = [w_ref[:, i].reshape(tm, 1) for i in range(NUM_LIMBS)]  # bcast lanes
         wt = fr.mul_limb_lists(lb, lw)
         hi = fr.add_limb_lists(la, wt)
         lo = fr.sub_limb_lists(la, wt)
@@ -79,15 +82,106 @@ def _stage_axis2(v: jax.Array, w_stage: jax.Array, lanes_tile: int = 1024, m_til
         in_specs=[a_spec, b_spec, w_spec],
         out_specs=o_spec,
         interpret=_interpret(),
-    )(v, v, w_stage)
+    )(v, v, jnp.swapaxes(w_stage, 0, 1))
     return out.reshape(NUM_LIMBS, c, half, 2 * m, s)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes_tile", "m_tile"))
+def _stage4_axis2(
+    v: jax.Array, w1: jax.Array, w2a: jax.Array, w2b: jax.Array,
+    lanes_tile: int = 1024, m_tile: int = 8,
+) -> jax.Array:
+    """Two merged Stockham stages (radix-4) over axis -2:
+    (16, C, L, M, S) -> (16, C, L/4, 4M, S).
+
+    Reads the four paired sub-rows, runs both butterfly levels in registers
+    (one multiply per output point, but half the HBM passes and half the
+    kernels of two radix-2 sweeps):
+
+        p0 = a0 + w1·b0   q0 = a0 − w1·b0      (a0,b0) = rows l, l+L/2
+        p1 = a1 + w1·b1   q1 = a1 − w1·b1      (a1,b1) = rows l+L/4, l+3L/4
+        out[    j] = p0 + w2a·p1     out[2M+j] = p0 − w2a·p1
+        out[ M+j] = q0 + w2b·q1     out[3M+j] = q0 − w2b·q1
+    """
+    _, c, l_count, m, s = v.shape
+    quarter = l_count // 4
+    t2 = min(lanes_tile, s)
+    tm = min(m_tile, m)
+    grid = (c, quarter, m // tm, s // t2)
+
+    def row_spec(offset):
+        return pl.BlockSpec(
+            (NUM_LIMBS, 1, 1, tm, t2),
+            lambda ci, l, jm, j2, o=offset: (0, ci, l + o, jm, j2),
+            memory_space=pltpu.VMEM,
+        )
+
+    w_spec = pl.BlockSpec(
+        (tm, NUM_LIMBS), lambda ci, l, jm, j2: (jm, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (NUM_LIMBS, 1, 1, 4, tm, t2),
+        lambda ci, l, jm, j2: (0, ci, l, 0, jm, j2),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kernel(a0_ref, a1_ref, b0_ref, b1_ref, w1_ref, w2a_ref, w2b_ref, o_ref):
+        def rd(ref):
+            return [ref[i, 0, 0] for i in range(NUM_LIMBS)]
+
+        def tw(ref):
+            return [ref[:, i].reshape(tm, 1) for i in range(NUM_LIMBS)]
+
+        a0, a1, b0, b1 = rd(a0_ref), rd(a1_ref), rd(b0_ref), rd(b1_ref)
+        lw1, lw2a, lw2b = tw(w1_ref), tw(w2a_ref), tw(w2b_ref)
+        t0 = fr.mul_limb_lists(b0, lw1)
+        t1 = fr.mul_limb_lists(b1, lw1)
+        p0 = fr.add_limb_lists(a0, t0)
+        q0 = fr.sub_limb_lists(a0, t0)
+        p1 = fr.add_limb_lists(a1, t1)
+        q1 = fr.sub_limb_lists(a1, t1)
+        u = fr.mul_limb_lists(p1, lw2a)
+        w = fr.mul_limb_lists(q1, lw2b)
+        o0 = fr.add_limb_lists(p0, u)
+        o2 = fr.sub_limb_lists(p0, u)
+        o1 = fr.add_limb_lists(q0, w)
+        o3 = fr.sub_limb_lists(q0, w)
+        for i in range(NUM_LIMBS):
+            o_ref[i, 0, 0, 0] = o0[i]
+            o_ref[i, 0, 0, 1] = o1[i]
+            o_ref[i, 0, 0, 2] = o2[i]
+            o_ref[i, 0, 0, 3] = o3[i]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, c, quarter, 4, m, s), v.dtype),
+        grid=grid,
+        in_specs=[
+            row_spec(0),
+            row_spec(quarter),
+            row_spec(2 * quarter),
+            row_spec(3 * quarter),
+            w_spec,
+            w_spec,
+            w_spec,
+        ],
+        out_specs=o_spec,
+        interpret=_interpret(),
+    )(
+        v, v, v, v,
+        jnp.swapaxes(w1, 0, 1),
+        jnp.swapaxes(w2a, 0, 1),
+        jnp.swapaxes(w2b, 0, 1),
+    )
+    return out.reshape(NUM_LIMBS, c, quarter, 4 * m, s)
 
 
 def _transform_axis2(v: jax.Array, log_nt: int, table: jax.Array, n_table: int) -> jax.Array:
     """Full Stockham NTT of size 2^log_nt along axis -2 of (16, C, Nt, S).
 
     ``table`` is the master power table of a root whose order is ``n_table``
-    (>= 2^log_nt); stage twiddles are strided slices.
+    (>= 2^log_nt); stage twiddles are strided slices.  Stages run radix-4
+    (two levels per sweep) with one radix-2 step when the count is odd.
     """
     from ..ntt.ntt import _stage_twiddles
 
@@ -95,14 +189,22 @@ def _transform_axis2(v: jax.Array, log_nt: int, table: jax.Array, n_table: int) 
     _, c, nt_in, s = v.shape
     assert nt_in == nt
     v = v.reshape(NUM_LIMBS, c, nt, 1, s)
-    stride0 = n_table // nt  # subgroup of order nt inside the table's group
     m = 1
-    for _ in range(log_nt):
-        # w_{2M} of the size-nt transform = ω_table^{n_table/(2M·1)·…}: the
-        # strided slice at stride n_table/(2m·stride0), first m entries.
-        w = _stage_twiddles(table, n_table, 2 * m * stride0)[..., :m]
+    remaining = log_nt
+    if remaining % 2:
+        # The size-nt transform's root is ω_table^{n_table/nt}, so its stage
+        # twiddle w_{2M}^j = ω_table^{(n_table/(2M))·j} — the table stride is
+        # n_table/(2M) for *any* sub-transform size.
+        w = _stage_twiddles(table, n_table, 2 * m)
         v = _stage_axis2(v, w)
         m *= 2
+        remaining -= 1
+    while remaining > 0:
+        w1 = _stage_twiddles(table, n_table, 2 * m)
+        w2 = _stage_twiddles(table, n_table, 4 * m)  # (2m,)
+        v = _stage4_axis2(v, w1, w2[..., :m], w2[..., m : 2 * m])
+        m *= 4
+        remaining -= 2
     return v.reshape(NUM_LIMBS, c, nt, s)
 
 
@@ -125,10 +227,13 @@ def _four_step_twiddles(log_n: int, inverse: bool, n1: int, n2: int) -> jax.Arra
     return cur[:, :n1]
 
 
-@functools.partial(jax.jit, static_argnames=("inverse",))
 def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     """Four-step Stockham NTT over the last axis of (16, *batch, N)
-    (natural order in/out, unscaled)."""
+    (natural order in/out, unscaled).
+
+    Deliberately not wrapped in one big jit: each stage kernel compiles (and
+    caches) independently, so first-run compilation is incremental and
+    partial results are shared across transform sizes."""
     from ..ntt.ntt import _ntt_xla, _twiddle_table
 
     n = x.shape[-1]
@@ -156,24 +261,26 @@ def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     return v.reshape(x.shape)
 
 
+@functools.partial(jax.jit, static_argnames=("tile",))
 def _mul_broadcast(v: jax.Array, t: jax.Array, tile: int = 1024) -> jax.Array:
     """v (16, C, N1, N2) * t (16, N1, N2) elementwise, t shared across C."""
     _, c, n1, n2 = v.shape
     t2 = min(tile, n2)
-    grid = (c, n1, n2 // t2)
+    tm = min(8, n1)
+    grid = (c, n1 // tm, n2 // t2)
     v_spec = pl.BlockSpec(
-        (NUM_LIMBS, 1, 1, t2), lambda ci, i, j: (0, ci, i, j), memory_space=pltpu.VMEM
+        (NUM_LIMBS, 1, tm, t2), lambda ci, i, j: (0, ci, i, j), memory_space=pltpu.VMEM
     )
     t_spec = pl.BlockSpec(
-        (NUM_LIMBS, 1, t2), lambda ci, i, j: (0, i, j), memory_space=pltpu.VMEM
+        (NUM_LIMBS, tm, t2), lambda ci, i, j: (0, i, j), memory_space=pltpu.VMEM
     )
 
     def kernel(a_ref, b_ref, o_ref):
-        la = [a_ref[i, 0, 0] for i in range(NUM_LIMBS)]
-        lb = [b_ref[i, 0] for i in range(NUM_LIMBS)]
+        la = [a_ref[i, 0] for i in range(NUM_LIMBS)]
+        lb = [b_ref[i] for i in range(NUM_LIMBS)]
         out = fr.mul_limb_lists(la, lb)
         for i in range(NUM_LIMBS):
-            o_ref[i, 0, 0] = out[i]
+            o_ref[i, 0] = out[i]
 
     return pl.pallas_call(
         kernel,

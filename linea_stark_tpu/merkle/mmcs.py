@@ -8,17 +8,21 @@ not vendored):
 
 * A commitment covers a *batch* of matrices, each ``(16, W_k, N_k)`` with
   power-of-two heights, processed tallest-first.
-* Leaf layer: the rows of every tallest matrix are sponge-hashed together
-  (columns concatenated in matrix order) into one digest per row.
+* Leaf layer: the rows of every tallest matrix are hashed together (columns
+  concatenated in matrix order) into one digest per row.
 * Going up, adjacent digest pairs are 2-to-1 compressed; whenever matrices of
   exactly the new height exist, their row-hash is folded in with one extra
   compression: ``d = compress(compress(l, r), hash(rows))``.
 * The root is the single remaining digest.
 
-Everything below the top runs as full-width device sweeps: one
-``hash_columns`` kernel over all N rows, then log2(N) ``compress`` sweeps of
-halving width — the layer structure XLA pipelines well, in contrast to the
+The hasher is swappable (Poseidon2 default, Keccak-256 alternative —
+hash/hasher.py), mirroring the reference's type-alias config surface.
+
+Everything below the top runs as full-width device sweeps: one leaf-hash
+kernel over all N rows, then halving compression sweeps — in contrast to the
 reference's per-leaf rayon tasks (~75% of its prove time, bench.log:19).
+On the Pallas path the sub-threshold top levels finish host-side (they are
+tiny, and each level shape would otherwise cost a remote kernel compile).
 """
 
 from __future__ import annotations
@@ -33,22 +37,9 @@ import numpy as np
 from ..backend import use_pallas
 from ..field import fr
 from ..hash import poseidon2 as p2
+from ..hash.hasher import make_hasher
 
-
-def _hash_columns(cols, params):
-    if use_pallas():
-        from ..kernels import pallas_poseidon2 as pk
-
-        return pk.leaf_hash(jnp.stack(cols, axis=1), params)
-    return p2.hash_columns(cols, params)
-
-
-def _compress(left, right, params):
-    if use_pallas():
-        from ..kernels import pallas_poseidon2 as pk
-
-        return pk.compress(left, right, params)
-    return p2.compress(left, right, params)
+HOST_TREE_THRESHOLD = 256
 
 
 @dataclass
@@ -58,7 +49,7 @@ class MerkleTree:
     matrices: list          # original matrix list, (16, W_k, N_k) each
     order: list             # indices of `matrices` sorted by height desc
     levels: list            # levels[0] = (16, N_max) leaf digests, ... (16, 1)
-    params: p2.Poseidon2Params
+    hasher: object
 
     @property
     def root(self) -> jax.Array:
@@ -72,45 +63,80 @@ def _matrix_columns(mat: jax.Array) -> list:
     return [mat[:, w] for w in range(mat.shape[1])]
 
 
-def commit(
-    matrices: Sequence[jax.Array],
-    params: p2.Poseidon2Params = p2.DEFAULT_PARAMS,
-) -> MerkleTree:
+def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
     """Commit to a batch of limb matrices (16, W_k, N_k)."""
+    h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
     assert len(matrices) >= 1
     heights = [m.shape[2] for m in matrices]
-    for h in heights:
-        assert h & (h - 1) == 0, "heights must be powers of two"
+    for ht in heights:
+        assert ht & (ht - 1) == 0, "heights must be powers of two"
     order = sorted(range(len(matrices)), key=lambda k: -heights[k])
     max_h = heights[order[0]]
 
-    def rows_digest(height: int) -> jax.Array | None:
+    def rows_digest(height: int):
         cols = []
         for k in order:
             if heights[k] == height:
                 cols.extend(_matrix_columns(matrices[k]))
         if not cols:
             return None
-        return _hash_columns(cols, params)
+        return h.hash_columns(cols)
 
-    single_height = all(h == max_h for h in heights)
+    single_height = all(x == max_h for x in heights)
+    if single_height and use_pallas() and max_h <= HOST_TREE_THRESHOLD:
+        return _commit_host(matrices, order, h)
     d = rows_digest(max_h)
     if single_height and not use_pallas() and max_h >= 4:
-        levels = [d] + _scan_tree_levels(d, params)
+        levels = [d] + _scan_tree_levels(d, h)
+    elif single_height and use_pallas():
+        # Device sweeps down to the threshold, then a host finish.
+        levels = [d]
+        size = max_h
+        while size > HOST_TREE_THRESHOLD and size > 1:
+            size //= 2
+            d = h.compress(d[..., 0::2], d[..., 1::2])
+            levels.append(d)
+        if size > 1:
+            vals = fr.unpack_ints(np.asarray(d))
+            while size > 1:
+                size //= 2
+                vals = [
+                    h.compress_ints(vals[2 * i], vals[2 * i + 1])
+                    for i in range(size)
+                ]
+                levels.append(jnp.asarray(fr.pack_ints(vals)))
     else:
         levels = [d]
         size = max_h
         while size > 1:
             size //= 2
-            d = _compress(d[..., 0::2], d[..., 1::2], params)
+            d = h.compress(d[..., 0::2], d[..., 1::2])
             inj = rows_digest(size)
             if inj is not None:
-                d = _compress(d, inj, params)
+                d = h.compress(d, inj)
             levels.append(d)
-    return MerkleTree(list(matrices), order, levels, params)
+    return MerkleTree(list(matrices), order, levels, h)
 
 
-def _scan_tree_levels(leaves: jax.Array, params: p2.Poseidon2Params) -> list:
+def _commit_host(matrices, order, h) -> MerkleTree:
+    """Whole-tree host build for tiny commitments (FRI tail levels)."""
+    cols = []
+    for k in order:
+        m = matrices[k]
+        for w in range(m.shape[1]):
+            cols.append(fr.unpack_ints(np.asarray(m[:, w])))
+    n = len(cols[0])
+    vals = [h.hash_ints([c[i] for c in cols]) for i in range(n)]
+    levels = [jnp.asarray(fr.pack_ints(vals))]
+    size = n
+    while size > 1:
+        size //= 2
+        vals = [h.compress_ints(vals[2 * i], vals[2 * i + 1]) for i in range(size)]
+        levels.append(jnp.asarray(fr.pack_ints(vals)))
+    return MerkleTree(list(matrices), order, levels, h)
+
+
+def _scan_tree_levels(leaves: jax.Array, h) -> list:
     """Upper tree levels via one fixed-shape scan (XLA path).
 
     Every step compresses a zero-padded (16, N/2) buffer — the same compiled
@@ -120,10 +146,10 @@ def _scan_tree_levels(leaves: jax.Array, params: p2.Poseidon2Params) -> list:
     """
     n = leaves.shape[-1]
     log_n = n.bit_length() - 1
-    first = p2.compress(leaves[..., 0::2], leaves[..., 1::2], params)  # (16, n/2)
+    first = h.compress(leaves[..., 0::2], leaves[..., 1::2])  # (16, n/2)
 
     def body(buf, _):
-        nxt = p2.compress(buf[..., 0::2], buf[..., 1::2], params)  # (16, n/4)
+        nxt = h.compress(buf[..., 0::2], buf[..., 1::2])  # (16, n/4)
         padded = jnp.concatenate([nxt, jnp.zeros_like(nxt)], axis=-1)
         return padded, padded
 
@@ -185,7 +211,7 @@ def verify_opening(
     root_int: int,
     heights_widths: Sequence[tuple],
     opening: BatchOpening,
-    params: p2.Poseidon2Params = p2.DEFAULT_PARAMS,
+    hasher=None,
 ) -> bool:
     """Host-side path verification (the verifier is scalar and host-resident,
     mirroring the <1s reference verify, SURVEY.md §3.4).
@@ -193,8 +219,9 @@ def verify_opening(
     ``heights_widths``: (height, width) per matrix in the same order as the
     opening's rows (= original commit order).
     """
-    heights = [h for h, _ in heights_widths]
-    for (h, w), row in zip(heights_widths, opening.rows):
+    h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
+    heights = [x for x, _ in heights_widths]
+    for (ht, w), row in zip(heights_widths, opening.rows):
         if len(row) != w:
             return False
     order = sorted(range(len(heights)), key=lambda k: -heights[k])
@@ -208,7 +235,7 @@ def verify_opening(
                 vals.extend(opening.rows[k])
         if not vals:
             return None
-        return p2.hash_ints(vals, params)
+        return h.hash_ints(vals)
 
     digest = rows_digest(max_h)
     index = opening.index
@@ -217,10 +244,10 @@ def verify_opening(
     size = max_h
     for sib in opening.siblings:
         left, right = (digest, sib) if index % 2 == 0 else (sib, digest)
-        digest = p2.compress_ints(left, right, params)
+        digest = h.compress_ints(left, right)
         index >>= 1
         size //= 2
         inj = rows_digest(size)
         if inj is not None:
-            digest = p2.compress_ints(digest, inj, params)
+            digest = h.compress_ints(digest, inj)
     return digest == root_int

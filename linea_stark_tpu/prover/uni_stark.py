@@ -87,8 +87,7 @@ def _barycentric_open(
         oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
     )
     u = fo.mul(x_vec, denom_inv)  # shared across columns
-    sums = fo.tree_sum(fo.mul(matrix_lde, u[:, None]))  # (16, W)
-    vals = fr.unpack_ints(np.asarray(sums))
+    vals = fo.sum_to_ints(fo.mul(matrix_lde, u[:, None, :]))
     return [oracle.mul(v, const) for v in vals]
 
 
@@ -216,6 +215,7 @@ def prove(
     fri_cfg = config.fri
     shift = config.coset_shift
     hp = config.hash_params
+    mh = config.mmcs_hasher()
 
     w = trace.shape[1]
     n = trace.shape[-1]
@@ -231,7 +231,7 @@ def prove(
         with span("coset_lde_batch"):
             trace_lde = coset_lde(trace, fri_cfg.log_blowup, shift)
         with span("merkle commit"):
-            trace_tree = mmcs.commit([trace_lde], hp)
+            trace_tree = mmcs.commit([trace_lde], mh)
     trace_root = trace_tree.root_int()
 
     challenger.observe(log_n)
@@ -254,7 +254,7 @@ def prove(
             )  # (16, B, n_lde)
         chunk_ldes = [chunk_stack[:, i : i + 1] for i in range(blowup)]
         with span("merkle commit"):
-            quotient_tree = mmcs.commit(chunk_ldes, hp)
+            quotient_tree = mmcs.commit(chunk_ldes, mh)
     quotient_root = quotient_tree.root_int()
 
     challenger.observe(quotient_root)
@@ -314,26 +314,40 @@ def prove(
     with span("FRI prover"):
         final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
         f = f0
+        f_host = None  # int-list codeword once the tail goes host-side
         cur_shift, cur_omega, size = shift, omega_lde, n_lde
         betas, fold_trees, fold_roots = [], [], []
         while size > final_size:
             beta = challenger.sample()
             betas.append(beta)
-            f = fold_codeword(f, beta, cur_shift, cur_omega)
+            if f_host is None and size <= 2 * _FRI_HOST_TAIL:
+                f_host = fr.unpack_ints(np.asarray(f))
+            if f_host is None:
+                f = fold_codeword(f, beta, cur_shift, cur_omega)
+            else:
+                f_host = _fold_host(f_host, beta, cur_shift, cur_omega)
             cur_shift = (cur_shift * cur_shift) % R_MOD
             cur_omega = (cur_omega * cur_omega) % R_MOD
             size //= 2
             if size > final_size:
-                halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
-                t = mmcs.commit([halves], hp)
+                if f_host is None:
+                    halves = jnp.stack(
+                        [f[:, : size // 2], f[:, size // 2 :]], axis=1
+                    )
+                else:
+                    halves = jnp.asarray(fr.pack_ints(f_host)).reshape(
+                        NUM_LIMBS, 2, size // 2
+                    )
+                t = mmcs.commit([halves], mh)
                 fold_trees.append(t)
                 root = t.root_int()
                 fold_roots.append(root)
                 challenger.observe(root)
 
         # Final polynomial: iNTT on its coset, degree < 2^log_final_poly_len.
-        final_coeffs_arr = evals_to_coeffs(f, cur_shift)
-        final_all = fr.unpack_ints(np.asarray(final_coeffs_arr))
+        if f_host is None:
+            f_host = fr.unpack_ints(np.asarray(f))
+        final_all = _interpolate_host(f_host, cur_shift)
         n_final = 1 << fri_cfg.log_final_poly_len
         final_poly = final_all[:n_final]
         if config.check_trace:
@@ -395,6 +409,39 @@ def prove(
     )
 
 
+# FRI folds at/below this size run on the host (int lists): the tail levels
+# are tiny and every sub-threshold device shape would cost a kernel compile.
+_FRI_HOST_TAIL = 512
+
+
+def _fold_host(f: list, beta: int, shift_int: int, omega_int: int) -> list:
+    half = len(f) // 2
+    out = []
+    x = shift_int % R_MOD
+    for i in range(half):
+        out.append(fold_pair_int(f[i], f[i + half], x, beta))
+        x = oracle.mul(x, omega_int)
+    return out
+
+
+def _interpolate_host(evals: list, shift_int: int) -> list:
+    """Coefficients of the polynomial with these evals on shift·H (naive
+    O(m²) inverse DFT — m is the tiny final codeword)."""
+    m = len(evals)
+    w_inv = oracle.inv(pow(root_of_unity(m.bit_length() - 1), 1, R_MOD))
+    m_inv = oracle.inv(m)
+    s_inv = oracle.inv(shift_int % R_MOD)
+    coeffs = []
+    for d in range(m):
+        acc = 0
+        for j in range(m):
+            acc = oracle.add(acc, oracle.mul(evals[j], pow(w_inv, j * d, R_MOD)))
+        coeffs.append(
+            oracle.mul(oracle.mul(acc, m_inv), pow(s_inv, d, R_MOD))
+        )
+    return coeffs
+
+
 def _open_pairs(tree, indices, half):
     lo = mmcs.open_at(tree, indices)
     hi = mmcs.open_at(tree, [i + half for i in indices])
@@ -421,6 +468,7 @@ def verify(
     fri_cfg = config.fri
     shift = config.coset_shift
     hp = config.hash_params
+    mh = config.mmcs_hasher()
 
     n = 1 << proof.log_n
     w = proof.width
@@ -522,7 +570,7 @@ def verify(
         ):
             if opening.index != want_idx:
                 raise VerificationError("opening index mismatch")
-            if not mmcs.verify_opening(root, hws, opening, hp):
+            if not mmcs.verify_opening(root, hws, opening, mh):
                 raise VerificationError("input Merkle opening failed")
 
         def reduced_at(x: int, t_open, q_open) -> int:
@@ -539,8 +587,10 @@ def verify(
                         num, oracle.mul(k, oracle.sub(rv, ys[c]))
                     )
                     k = oracle.mul(k, alpha_p)
+                # denominator is (z − x), matching the prover's
+                # batch_inverse(z − x) reduction
                 acc = oracle.add(
-                    acc, oracle.mul(num, oracle.inv(oracle.sub(x, z)))
+                    acc, oracle.mul(num, oracle.inv(oracle.sub(z, x)))
                 )
             return acc
 
@@ -560,13 +610,16 @@ def verify(
             if op.index != p:
                 raise VerificationError("fold opening index mismatch")
             if not mmcs.verify_opening(
-                proof.fri.commit_roots[li - 1], [(lv_half, 2)], op, hp
+                proof.fri.commit_roots[li - 1], [(lv_half, 2)], op, mh
             ):
                 raise VerificationError("fold Merkle opening failed")
             lo_v, hi_v = op.rows[0]
             expect = lo_v if pos < lv_half else hi_v
             if v != expect:
-                raise VerificationError("fold consistency failed")
+                raise VerificationError(
+                    f"fold consistency failed (query {qi}, level {li}, "
+                    f"pos {pos}, size {size})"
+                )
             x_p = oracle.mul(cur_shift, pow(cur_omega, p, R_MOD))
             v = fold_pair_int(lo_v, hi_v, x_p, betas[li])
             pos = p

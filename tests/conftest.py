@@ -9,8 +9,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     # Pinning the CPU ISA makes persistent-cache entries loadable across
     # processes (feature-mismatched AOT entries segfault on load).
+    # opt level 0 ~halves XLA CPU compile time; tests value compile speed
+    # over runtime.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
+        flags
+        + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
+        + " --xla_backend_optimization_level=0"
     ).strip()
 
 import jax  # noqa: E402

@@ -1,0 +1,93 @@
+"""Keccak-256: known vectors, vectorized core, field-digest hasher, MMCS."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from linea_stark_tpu.field import fr
+from linea_stark_tpu.field.constants import R_MOD
+from linea_stark_tpu.hash.hasher import KeccakHasher
+from linea_stark_tpu.hash.keccak import keccak256, keccak256_field, keccak256_fixed_vec
+from linea_stark_tpu.merkle import commit, open_at, verify_opening
+
+rng = random.Random(31)
+
+
+def test_known_vectors():
+    assert (
+        keccak256(b"").hex()
+        == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert (
+        keccak256(b"abc").hex()
+        == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+
+
+def test_vectorized_matches_host():
+    nprng = np.random.default_rng(0)
+    msgs = [nprng.integers(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(4)]
+    words = np.zeros((8, 2, 4), dtype=np.uint32)
+    for b, m in enumerate(msgs):
+        for j in range(8):
+            w = int.from_bytes(m[8 * j : 8 * j + 8], "little")
+            words[j, 0, b] = w & 0xFFFFFFFF
+            words[j, 1, b] = w >> 32
+    out = np.asarray(keccak256_fixed_vec(jnp.asarray(words)))
+    for b, m in enumerate(msgs):
+        got = b"".join(
+            (int(out[j, 0, b]) | (int(out[j, 1, b]) << 32)).to_bytes(8, "little")
+            for j in range(4)
+        )
+        assert got == keccak256(m)
+
+
+def test_hasher_device_matches_ints():
+    h = KeccakHasher()
+    n, w = 8, 3
+    cols_int = [[rng.randrange(R_MOD) for _ in range(n)] for _ in range(w)]
+    cols = [jnp.asarray(fr.pack_ints(c)) for c in cols_int]
+    got = fr.unpack_ints(np.asarray(h.hash_columns(cols)))
+    expect = [h.hash_ints([cols_int[k][i] for k in range(w)]) for i in range(n)]
+    assert got == expect
+
+    a = [rng.randrange(R_MOD) for _ in range(n)]
+    b = [rng.randrange(R_MOD) for _ in range(n)]
+    got = fr.unpack_ints(
+        np.asarray(h.compress(jnp.asarray(fr.pack_ints(a)), jnp.asarray(fr.pack_ints(b))))
+    )
+    assert got == [h.compress_ints(x, y) for x, y in zip(a, b)]
+
+
+def test_keccak_merkle_commit_verify():
+    h = KeccakHasher()
+    w, n = 2, 16
+    vals = [rng.randrange(R_MOD) for _ in range(w * n)]
+    m = jnp.asarray(fr.pack_ints(vals)).reshape(16, w, n)
+    tree = commit([m], h)
+    for op in open_at(tree, [0, 7, 15]):
+        assert verify_opening(tree.root_int(), [(n, w)], op, h)
+    bad = open_at(tree, [3])[0]
+    bad.rows[0][0] ^= 1
+    assert not verify_opening(tree.root_int(), [(n, w)], bad, h)
+
+
+def test_keccak_prove_verify():
+    from linea_stark_tpu.challenger import HashChallenger
+    from linea_stark_tpu.config import FriConfig, StarkConfig
+    from linea_stark_tpu.prover import prove, verify
+    from linea_stark_tpu.trace import build_trace, gen_permutation_trace
+
+    cfg = StarkConfig(
+        fri=FriConfig(log_blowup=2, log_final_poly_len=0, num_queries=4,
+                      proof_of_work_bits=0),
+        hasher="keccak",
+    )
+    alpha, delta = 12345, 67890
+    raw = gen_permutation_trace(width=2, height=8, seed=9)
+    built = build_trace([raw], [], alpha, delta)
+    ch = HashChallenger((), cfg.hash_params)
+    proof = prove(cfg, built.air, built.matrix, [alpha, delta], ch)
+    verify(cfg, built.air, proof, [alpha, delta],
+           HashChallenger((), cfg.hash_params))
