@@ -87,7 +87,11 @@ def _barycentric_open(
         oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
     )
     u = fo.mul(x_vec, denom_inv)  # shared across columns
-    vals = fo.sum_to_ints(fo.mul(matrix_lde, u[:, None, :]))
+    # Column-at-a-time: a whole-matrix product would materialize a (16, W, N)
+    # broadcast pair (~4 GB for the 14-wide 2^22 LDE) and OOM a single chip.
+    vals = []
+    for c in range(matrix_lde.shape[1]):
+        vals.append(fo.sum_to_ints(fo.mul(matrix_lde[:, c], u)[:, None, :])[0])
     return [oracle.mul(v, const) for v in vals]
 
 
@@ -248,13 +252,17 @@ def prove(
     # Split by cosets: chunk i = values at indices ≡ i (mod blowup).
     with span("commit quotient chunks"):
         chunks = q_evals.reshape(NUM_LIMBS, n, blowup).transpose(0, 2, 1)  # (16,B,n)
+        del q_evals
         with span("coset_lde_batch", dims=f"{blowup}x{n}"):
             chunk_stack = _chunk_ldes_batched(
                 chunks, fri_cfg.log_blowup, shift, omega_lde
             )  # (16, B, n_lde)
-        chunk_ldes = [chunk_stack[:, i : i + 1] for i in range(blowup)]
+        del chunks
+        # One width-B matrix: leaf hashes are identical to B width-1 matrices
+        # of equal height (columns concatenate in order), and it avoids B
+        # full-height slice copies (2 GB at the 2^19 workload).
         with span("merkle commit"):
-            quotient_tree = mmcs.commit(chunk_ldes, mh)
+            quotient_tree = mmcs.commit([chunk_stack], mh)
     quotient_root = quotient_tree.root_int()
 
     challenger.observe(quotient_root)
@@ -556,7 +564,7 @@ def verify(
 
     # --- FRI query checks --------------------------------------------------
     trace_hw = [(n_lde, w)]
-    quot_hw = [(n_lde, 1)] * blowup
+    quot_hw = [(n_lde, blowup)]  # one width-B matrix (see prove)
     half0 = n_lde // 2
 
     for qi, idx in enumerate(indices):
@@ -579,7 +587,7 @@ def verify(
             for rows, z, ys in (
                 (t_open.rows[0], zeta, proof.trace_at_zeta),
                 (t_open.rows[0], zeta_next, proof.trace_at_zeta_next),
-                ([r[0] for r in q_open.rows], zeta, proof.quotient_chunks_at_zeta),
+                (q_open.rows[0], zeta, proof.quotient_chunks_at_zeta),
             ):
                 num = 0
                 for c, rv in enumerate(rows):
