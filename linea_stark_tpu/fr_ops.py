@@ -80,29 +80,65 @@ def mul_const(a, c_int: int):
 
 
 # Tables up to one block are generated host-side (microseconds per entry and
-# no kernel compile at all); larger ones extend block-at-a-time on device.
-_POWERS_BLOCK = 32768
+# no kernel compile at all); larger ones extend by log-doubling on device.
+_POWERS_BLOCK = 8192
+
+# Power tables recur heavily across a prove (domain vector, coset scales,
+# NTT twiddles, per-level FRI fold tables) and the remote-TPU dispatch
+# latency makes rebuilding them the single biggest avoidable cost — so
+# concrete tables are cached LRU up to a byte budget.
+_POWERS_CACHE: "dict[tuple, jax.Array]" = {}
+_POWERS_CACHE_CAP = 1_200_000_000
+
+
+def _tracing() -> bool:
+    try:
+        from jax._src import core as _jcore
+
+        return not _jcore.trace_state_clean()
+    except Exception:  # pragma: no cover - jax internals moved
+        return True
+
+
+def powers_cache_clear() -> None:
+    _POWERS_CACHE.clear()
 
 
 def powers(base_int: int, count: int) -> jax.Array:
     """(16, count) table [1, w, ..., w^{count-1}].
 
-    Built on the host up to one block (Python pow is microseconds per entry
-    at these sizes), then extended with fixed-shape kernel multiplies
-    P[k+B..k+2B) = P[k..k+B)·w^B — so arbitrarily large tables reuse one
-    compiled (16, B) multiply instead of a log-chain of unique shapes."""
-    b = min(_POWERS_BLOCK, count)
+    Built on the host up to one block, then extended by device log-doubling
+    P[k..2k) = P[0..k)·w^k — log2(count/B) kernel dispatches instead of a
+    per-block chain.  Concrete results are cached (outside jit traces only:
+    a cached array inside a trace would be captured as a giant constant)."""
     base = base_int % R_MOD
+    key = (base, count)
+    tracing = _tracing()
+    if not tracing:
+        cached = _POWERS_CACHE.get(key)
+        if cached is not None:
+            return cached
+    b = min(_POWERS_BLOCK, count)
     first = [pow(base, i, R_MOD) for i in range(b)]
     p = jnp.asarray(fr.pack_ints(first))
     if count <= b:
-        return p[..., :count]
-    assert count % b == 0, "table size must be a multiple of the block"
-    blocks = [p]
-    step = pow(base, b, R_MOD)
-    for _ in range(count // b - 1):
-        blocks.append(mul_const(blocks[-1], step))
-    return jnp.concatenate(blocks, axis=-1)
+        p = p[..., :count]
+    else:
+        size = b
+        while size < count:
+            step = pow(base, size, R_MOD)
+            p = jnp.concatenate([p, mul_const(p, step)], axis=-1)
+            size *= 2
+        if size != count:
+            p = p[..., :count]
+    if not tracing:
+        while (
+            _POWERS_CACHE
+            and sum(v.size for v in _POWERS_CACHE.values()) * 4 > _POWERS_CACHE_CAP
+        ):
+            _POWERS_CACHE.pop(next(iter(_POWERS_CACHE)))
+        _POWERS_CACHE[key] = p
+    return p
 
 
 def _shift_fill(x: jax.Array, k: int, fill: jax.Array, reverse: bool) -> jax.Array:
@@ -114,12 +150,19 @@ def _shift_fill(x: jax.Array, k: int, fill: jax.Array, reverse: bool) -> jax.Arr
     return jnp.concatenate([pad, x[..., : n - k]], axis=-1)
 
 
+def _scan_kernel_ok(x: jax.Array) -> bool:
+    return use_pallas() and x.ndim == 2 and x.shape[-1] >= 1024
+
+
 def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
     """Inclusive prefix (or suffix) product along the last axis.
 
-    Hillis-Steele: log2(N) full-width multiplies — every step is one Pallas
-    sweep of a fixed shape, instead of associative_scan's shape zoo.
-    """
+    Pallas path: ONE kernel dispatch (in-block Hillis-Steele + sequential
+    cross-block carry in SMEM).  Fallback: log2(N) full-width multiplies."""
+    if _scan_kernel_ok(x):
+        from .kernels import pallas_field as pf
+
+        return pf.scan(x, "mul", reverse)
     n = x.shape[-1]
     one = fr.ones(()).reshape((NUM_LIMBS,) + (1,) * (x.ndim - 1))
     k = 1
@@ -131,6 +174,10 @@ def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
 
 def prefix_sum(x: jax.Array, reverse: bool = False) -> jax.Array:
     """Inclusive prefix (or suffix) sum along the last axis."""
+    if _scan_kernel_ok(x):
+        from .kernels import pallas_field as pf
+
+        return pf.scan(x, "add", reverse)
     n = x.shape[-1]
     zero = fr.zeros(()).reshape((NUM_LIMBS,) + (1,) * (x.ndim - 1))
     k = 1
@@ -173,6 +220,10 @@ def batch_inverse(x: jax.Array) -> jax.Array:
     inv_vals = [oracle.inv(v) for v in vals]
     total_inv = jnp.asarray(fr.pack_ints(inv_vals)).reshape(total.shape)
 
+    if _scan_kernel_ok(x):
+        from .kernels import pallas_field as pf
+
+        return pf.mul3_scalar(pre_exc, suf_exc, total_inv.reshape(NUM_LIMBS))
     return mul(mul(pre_exc, suf_exc), total_inv)
 
 

@@ -52,6 +52,16 @@ class Poseidon2Hasher:
     def compress_ints(self, a, b):
         return p2.compress_ints(a, b, self.params)
 
+    def tree_levels_br(self, d_br):
+        """All upper tree levels of a bit-reversed (16, N) digest layer in
+        one kernel dispatch, or None when unsupported (non-Pallas backends).
+        Outputs are bit-reversed too."""
+        if use_pallas():
+            from ..kernels import pallas_poseidon2 as pk
+
+            return pk.tree_levels_br(d_br, self.params)
+        return None
+
 
 # ---------------------------------------------------------------------------
 # Keccak

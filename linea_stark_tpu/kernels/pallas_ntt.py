@@ -208,11 +208,24 @@ def _transform_axis2(v: jax.Array, log_nt: int, table: jax.Array, n_table: int) 
     return v.reshape(NUM_LIMBS, c, nt, s)
 
 
+_TWIDDLE_CACHE: dict = {}
+_TWIDDLE_CACHE_MAX = 4
+
+
 def _four_step_twiddles(log_n: int, inverse: bool, n1: int, n2: int) -> jax.Array:
-    """T[k1, i2] = w^{k1·i2} as (16, N1, N2), built with log N1 doubling rows."""
+    """T[k1, i2] = w^{k1·i2} as (16, N1, N2), built with log N1 doubling rows.
+
+    Cached by transform signature — rebuilt tables cost ~log N1 full-size
+    multiplies per NTT call, pure dispatch latency on a remote TPU."""
     from ..ntt.ntt import _powers_device, root_of_unity
 
     from .. import fr_ops as fo
+
+    key = (log_n, inverse, n1, n2)
+    if not fo._tracing():
+        cached = _TWIDDLE_CACHE.get(key)
+        if cached is not None:
+            return cached
 
     w = root_of_unity(log_n, inverse)
     # Block doubling over k1: T[0:2K] = [T[0:K], T[0:K]·R_K] with
@@ -224,7 +237,12 @@ def _four_step_twiddles(log_n: int, inverse: bool, n1: int, n2: int) -> jax.Arra
         scaled = fo.mul(cur, r_k[:, None, :])
         cur = jnp.concatenate([cur, scaled], axis=1)
         size *= 2
-    return cur[:, :n1]
+    cur = cur[:, :n1]
+    if not fo._tracing():
+        while len(_TWIDDLE_CACHE) >= _TWIDDLE_CACHE_MAX:
+            _TWIDDLE_CACHE.pop(next(iter(_TWIDDLE_CACHE)))
+        _TWIDDLE_CACHE[key] = cur
+    return cur
 
 
 def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:

@@ -199,6 +199,62 @@ def leaf_hash(matrix, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFA
     )(consts, matrix)
 
 
+def _tree_kernel(const_ref, d_ref, *o_refs, rounds_f, rounds_p, alpha):
+    """Build every level above a (16, N) digest layer in one dispatch.
+
+    Input and outputs are in BIT-REVERSED index order: the natural tree's
+    adjacent-pair compression (i, i^1) becomes first-half/second-half pairing
+    in bit-reversed order — contiguous static slices, which Mosaic lowers
+    cleanly (a (half, 2) deinterleave reshape does not).  The whole subtree
+    stays VMEM-resident — one launch replaces log2(N) halving sweeps, which
+    on a remote TPU were pure dispatch latency."""
+    cur = [d_ref[i] for i in range(NUM_LIMBS)]
+    n = d_ref.shape[-1]
+    for l in range(len(o_refs)):
+        half = n // 2
+        left = [c[:half] for c in cur]
+        right = [c[half:] for c in cur]
+        zero = jnp.zeros((half,), U32)
+        s = _rounds([left, right, [zero] * NUM_LIMBS], const_ref,
+                    rounds_f, rounds_p, alpha)
+        cur = s[0]
+        for i in range(NUM_LIMBS):
+            o_refs[l][i] = cur[i]
+        n = half
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def tree_levels_br(d_br, params: Poseidon2Params = DEFAULT_PARAMS):
+    """Bit-reversed (16, N) digest layer -> tuple of bit-reversed upper
+    levels ((16, N/2) ... (16, 1)).  N <= 2^15 (VMEM residency)."""
+    n = d_br.shape[-1]
+    levels = n.bit_length() - 1
+    assert 1 << levels == n and n <= (1 << 15)
+    consts = jnp.asarray(_params_const_array(params))
+    kernel = functools.partial(
+        _tree_kernel,
+        rounds_f=params.rounds_f,
+        rounds_p=params.rounds_p,
+        alpha=params.alpha,
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((NUM_LIMBS, n >> (l + 1)), d_br.dtype)
+        for l in range(levels)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)
+        ),
+        interpret=_interpret(),
+    )(consts, d_br)
+
+
 def _compress_kernel(const_ref, l_ref, r_ref, o_ref, *, rounds_f, rounds_p, alpha):
     t_shape = l_ref.shape[-1]
     zero = jnp.zeros((t_shape,), U32)

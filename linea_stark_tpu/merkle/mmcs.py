@@ -40,23 +40,54 @@ from ..hash import poseidon2 as p2
 from ..hash.hasher import make_hasher
 
 HOST_TREE_THRESHOLD = 256
+# Digest-layer size at/below which the whole remaining subtree builds in one
+# Pallas dispatch ((16, 2^15) u32 = 2 MB — comfortably VMEM-resident).
+TREE_SWEEP_SIZE = 1 << 15
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _bitrev_table(n: int) -> "np.ndarray":
+    bits = n.bit_length() - 1
+    t = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        t[i] = (t[i >> 1] >> 1) | ((i & 1) << (bits - 1))
+    return t
+
+
+_BITREV_DEVICE: dict = {}
+
+
+def _bitrev_device(n: int):
+    a = _BITREV_DEVICE.get(n)
+    if a is None:
+        a = jnp.asarray(_bitrev_table(n))
+        _BITREV_DEVICE[n] = a
+    return a
 
 
 @dataclass
 class MerkleTree:
-    """Prover-side commitment: retained matrices + every digest level."""
+    """Prover-side commitment: retained matrices + every digest level.
+
+    Levels at index >= ``br_start`` (when set) come from the whole-subtree
+    kernel: they are zero-padded to a fixed width and stored in BIT-REVERSED
+    index order — natural level index ``s`` lives at array position
+    ``bitrev(s)`` over log2(array width) bits."""
 
     matrices: list          # original matrix list, (16, W_k, N_k) each
     order: list             # indices of `matrices` sorted by height desc
     levels: list            # levels[0] = (16, N_max) leaf digests, ... (16, 1)
     hasher: object
+    br_start: int = None    # first bit-reversed level index, or None
 
     @property
     def root(self) -> jax.Array:
         return self.levels[-1][:, 0]
 
     def root_int(self) -> int:
-        return fr.unpack_ints(np.asarray(self.levels[-1]))[0]
+        return fr.unpack_ints(np.asarray(self.levels[-1][..., :1]))[0]
 
 
 def _matrix_columns(mat: jax.Array) -> list:
@@ -86,25 +117,53 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
     if single_height and use_pallas() and max_h <= HOST_TREE_THRESHOLD:
         return _commit_host(matrices, order, h)
     d = rows_digest(max_h)
+    br_start = None
     if single_height and not use_pallas() and max_h >= 4:
         levels = [d] + _scan_tree_levels(d, h)
     elif single_height and use_pallas():
-        # Device sweeps down to the threshold, then a host finish.
+        # Halving sweeps down to VMEM residency, then ONE whole-subtree
+        # kernel dispatch for every remaining level (log2(N) fewer launches
+        # — launch latency dominated the FRI commit phase on a remote TPU).
         levels = [d]
         size = max_h
-        while size > HOST_TREE_THRESHOLD and size > 1:
+        while size > TREE_SWEEP_SIZE and size > 1:
             size //= 2
             d = h.compress(d[..., 0::2], d[..., 1::2])
             levels.append(d)
+        ups = None
         if size > 1:
-            vals = fr.unpack_ints(np.asarray(d))
-            while size > 1:
+            # Pad to the fixed sweep size (one compiled kernel serves every
+            # tree; garbage lanes never feed any valid digest) and permute to
+            # bit-reversed order (adjacent-pair compression becomes
+            # half-vs-half — the layout the kernel needs).
+            padded = d
+            if size < TREE_SWEEP_SIZE:
+                padded = jnp.concatenate(
+                    [d, jnp.zeros((d.shape[0], TREE_SWEEP_SIZE - size), d.dtype)],
+                    axis=-1,
+                )
+            d_br = jnp.take(padded, _bitrev_device(TREE_SWEEP_SIZE), axis=-1)
+            ups = getattr(h, "tree_levels_br", lambda _d: None)(d_br)
+        if size > 1 and ups is not None:
+            br_start = len(levels)
+            for l in range(1, size.bit_length()):
+                levels.append(ups[l - 1])
+        elif size > 1:
+            # Hasher without a subtree kernel (Keccak): halving sweeps +
+            # host finish for the tiny top.
+            while size > HOST_TREE_THRESHOLD and size > 1:
                 size //= 2
-                vals = [
-                    h.compress_ints(vals[2 * i], vals[2 * i + 1])
-                    for i in range(size)
-                ]
-                levels.append(jnp.asarray(fr.pack_ints(vals)))
+                d = h.compress(d[..., 0::2], d[..., 1::2])
+                levels.append(d)
+            if size > 1:
+                vals = fr.unpack_ints(np.asarray(d))
+                while size > 1:
+                    size //= 2
+                    vals = [
+                        h.compress_ints(vals[2 * i], vals[2 * i + 1])
+                        for i in range(size)
+                    ]
+                    levels.append(jnp.asarray(fr.pack_ints(vals)))
     else:
         levels = [d]
         size = max_h
@@ -115,7 +174,7 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
             if inj is not None:
                 d = h.compress(d, inj)
             levels.append(d)
-    return MerkleTree(list(matrices), order, levels, h)
+    return MerkleTree(list(matrices), order, levels, h, br_start)
 
 
 def _commit_host(matrices, order, h) -> MerkleTree:
@@ -176,12 +235,28 @@ class BatchOpening:
     siblings: list      # list[int], length log2(max_height)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_levels(levels, idx):
+    """Gather idx[l] from each level l in one compiled dispatch.
+
+    levels: tuple of (16, n_l) arrays (n_l halving); idx: (L, Q) int32.
+    Returns (16, L, Q) — one device round-trip for a whole auth-path batch
+    instead of one per level (the remote-TPU dispatch latency made per-level
+    gathers the dominant cost of the FRI query phase)."""
+    outs = [jnp.take(lvl, idx[l], axis=-1) for l, lvl in enumerate(levels)]
+    return jnp.stack(outs, axis=1)
+
+
 def open_at(tree: MerkleTree, indices: Sequence[int]) -> list:
     """Open the tree at several leaf indices (device gathers, host assembly)."""
     heights = [m.shape[2] for m in tree.matrices]
     max_h = max(heights)
     log_max = max_h.bit_length() - 1
-    idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
+    idx_np = np.asarray(indices, dtype=np.int32)
+    idx = jnp.asarray(idx_np)
 
     # Rows of every matrix at its scaled index.
     rows_per_matrix = []
@@ -190,19 +265,28 @@ def open_at(tree: MerkleTree, indices: Sequence[int]) -> list:
         mi = idx >> shift
         rows_per_matrix.append(np.asarray(jnp.take(m, mi, axis=-1)))  # (16, W, Q)
 
-    # Sibling digests per level.
-    sib_arrays = []
-    cur = idx
-    for lvl in range(log_max):
-        sib = cur ^ 1
-        sib_arrays.append(np.asarray(jnp.take(tree.levels[lvl], sib, axis=-1)))
-        cur = cur >> 1
+    # Sibling digests: all (level, query) pairs in one gather.  Kernel-built
+    # levels store natural index s at array position bitrev(s).
+    if log_max > 0:
+        sib_idx = np.empty((log_max, len(indices)), dtype=np.int32)
+        cur = idx_np.copy()
+        for lvl in range(log_max):
+            s = cur ^ 1
+            if tree.br_start is not None and lvl >= tree.br_start:
+                s = _bitrev_table(tree.levels[lvl].shape[-1])[s]
+            sib_idx[lvl] = s
+            cur >>= 1
+        sibs_all = np.asarray(
+            _gather_levels(tuple(tree.levels[:log_max]), jnp.asarray(sib_idx))
+        )  # (16, L, Q)
     openings = []
     for q, index in enumerate(indices):
         rows = []
         for k, rm in enumerate(rows_per_matrix):
             rows.append(fr.unpack_ints(rm[:, :, q]))
-        sibs = [fr.unpack_ints(s[:, q : q + 1])[0] for s in sib_arrays]
+        sibs = (
+            fr.unpack_ints(sibs_all[:, :, q]) if log_max > 0 else []
+        )
         openings.append(BatchOpening(int(index), rows, sibs))
     return openings
 

@@ -149,10 +149,13 @@ def compute_quotient(
     )
     last = pow(omega_n, n - 1, R_MOD)
     one_v = fr.ones((n_lde,))
-    x_minus_1_inv = fo.batch_inverse(fo.sub(x_vec, one_v))
-    x_minus_last_inv = fo.batch_inverse(
-        fo.sub(x_vec, fr.full((n_lde,), last))
+    # One fused inversion for both selector denominators.
+    sel_stack = jnp.concatenate(
+        [fo.sub(x_vec, one_v), fo.sub(x_vec, fr.full((n_lde,), last))], axis=-1
     )
+    sel_inv = fo.batch_inverse(sel_stack)
+    x_minus_1_inv = sel_inv[..., :n_lde]
+    x_minus_last_inv = sel_inv[..., n_lde:]
 
     q = fr.zeros((n_lde,))
     if acc[Sel.EVERY] is not None:
@@ -325,6 +328,8 @@ def prove(
         f_host = None  # int-list codeword once the tail goes host-side
         cur_shift, cur_omega, size = shift, omega_lde, n_lde
         betas, fold_trees, fold_roots = [], [], []
+        commit_span = span("commit phase (fold+commit per level)")
+        commit_span.__enter__()
         while size > final_size:
             beta = challenger.sample()
             betas.append(beta)
@@ -352,6 +357,7 @@ def prove(
                 fold_roots.append(root)
                 challenger.observe(root)
 
+        commit_span.__exit__(None, None, None)
         # Final polynomial: iNTT on its coset, degree < 2^log_final_poly_len.
         if f_host is None:
             f_host = fr.unpack_ints(np.asarray(f))
@@ -366,8 +372,10 @@ def prove(
             challenger.observe(c)
 
         with span("grind PoW"):
+            from ..fri.grind import grind as grind_pow
+
             pow_witness = (
-                challenger.grind(fri_cfg.proof_of_work_bits)
+                grind_pow(challenger, fri_cfg.proof_of_work_bits)
                 if fri_cfg.proof_of_work_bits > 0
                 else 0
             )
@@ -451,9 +459,9 @@ def _interpolate_host(evals: list, shift_int: int) -> list:
 
 
 def _open_pairs(tree, indices, half):
-    lo = mmcs.open_at(tree, indices)
-    hi = mmcs.open_at(tree, [i + half for i in indices])
-    return lo, hi
+    both = mmcs.open_at(tree, list(indices) + [i + half for i in indices])
+    q = len(indices)
+    return both[:q], both[q:]
 
 
 # ---------------------------------------------------------------------------

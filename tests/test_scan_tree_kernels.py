@@ -1,0 +1,137 @@
+"""Single-dispatch scan kernel + whole-subtree Merkle kernel (interpret mode).
+
+These kernels exist to collapse dispatch-latency-bound phases (prefix scans,
+FRI-level tree builds) into one launch each; correctness is checked against
+the plain-XLA implementations and Python oracles.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from linea_stark_tpu import fr_ops as fo
+from linea_stark_tpu.field import fr
+from linea_stark_tpu.field.constants import R_MOD
+from linea_stark_tpu.hash import poseidon2 as p2
+from linea_stark_tpu.kernels import pallas_field as pf
+from linea_stark_tpu.kernels import pallas_poseidon2 as pk
+from linea_stark_tpu.merkle import mmcs
+
+rng = random.Random(11)
+
+
+def rand_vals(n):
+    return [rng.randrange(1, R_MOD) for _ in range(n)]
+
+
+def test_scan_kernel_mul_fwd_rev_multiblock():
+    n = 1024
+    vals = rand_vals(n)
+    x = jnp.asarray(fr.pack_ints(vals))
+    # tile=256 -> 4 blocks: exercises the cross-block SMEM carry
+    pre = fr.unpack_ints(np.asarray(pf.scan(x, "mul", False, tile=256)))
+    suf = fr.unpack_ints(np.asarray(pf.scan(x, "mul", True, tile=256)))
+    acc = 1
+    for i, v in enumerate(vals):
+        acc = acc * v % R_MOD
+        assert pre[i] == acc, f"prefix mismatch at {i}"
+    acc = 1
+    for i in range(n - 1, -1, -1):
+        acc = acc * vals[i] % R_MOD
+        assert suf[i] == acc, f"suffix mismatch at {i}"
+
+
+def test_scan_kernel_add_multiblock():
+    n = 1024
+    vals = rand_vals(n)
+    x = jnp.asarray(fr.pack_ints(vals))
+    got = fr.unpack_ints(np.asarray(pf.scan(x, "add", False, tile=256)))
+    acc = 0
+    for i, v in enumerate(vals):
+        acc = (acc + v) % R_MOD
+        assert got[i] == acc
+
+
+def test_mul3_scalar():
+    n = 256
+    a_v, b_v = rand_vals(n), rand_vals(n)
+    c_v = rng.randrange(1, R_MOD)
+    a = jnp.asarray(fr.pack_ints(a_v))
+    b = jnp.asarray(fr.pack_ints(b_v))
+    c = jnp.asarray(fr.pack_ints([c_v]))[:, 0]
+    got = fr.unpack_ints(np.asarray(pf.mul3_scalar(a, b, c)))
+    for i in range(n):
+        assert got[i] == a_v[i] * b_v[i] % R_MOD * c_v % R_MOD
+
+
+def test_tree_levels_br_matches_sweeps():
+    n = 64
+    vals = rand_vals(n)
+    d = jnp.asarray(fr.pack_ints(vals))
+    br = mmcs._bitrev_table(n)
+    ups = pk.tree_levels_br(jnp.take(d, jnp.asarray(br), axis=-1))
+    # natural-order reference: repeated adjacent-pair compress_ints
+    level = list(vals)
+    for l, u in enumerate(ups):
+        level = [
+            p2.compress_ints(level[2 * i], level[2 * i + 1])
+            for i in range(len(level) // 2)
+        ]
+        w = u.shape[-1]
+        got = fr.unpack_ints(np.asarray(u))
+        brl = mmcs._bitrev_table(w)
+        nat = [got[brl[s]] for s in range(w)]
+        assert nat == level, f"level {l + 1} mismatch"
+
+
+def test_mmcs_pallas_br_path_matches_xla(monkeypatch):
+    """Force the Pallas commit path (interpret mode) with a tiny subtree
+    kernel threshold; root and openings must match the XLA path."""
+    h = 512
+    w = 2
+    vals = rand_vals(w * h)
+    m = jnp.asarray(fr.pack_ints(vals)).reshape(16, w, h)
+
+    tree_xla = mmcs.commit([m])
+    root = tree_xla.root_int()
+
+    monkeypatch.setenv("LINEA_TPU_BACKEND", "pallas")
+    monkeypatch.setattr(mmcs, "TREE_SWEEP_SIZE", 64)
+    monkeypatch.setattr(mmcs, "HOST_TREE_THRESHOLD", 16)
+    tree_p = mmcs.commit([m])
+    assert tree_p.br_start is not None
+    assert tree_p.root_int() == root
+
+    idxs = [0, 1, 63, 64, 101, h - 1]
+    ops_p = mmcs.open_at(tree_p, idxs)
+    ops_x = mmcs.open_at(tree_xla, idxs)
+    for op, ox in zip(ops_p, ops_x):
+        assert op.rows == ox.rows
+        assert op.siblings == ox.siblings
+        assert mmcs.verify_opening(root, [(h, w)], op)
+
+
+def test_grind_device_path_matches_host(monkeypatch):
+    """The vectorized grind finds a witness the host challenger accepts and
+    advances the transcript identically to the host grind."""
+    from linea_stark_tpu.challenger import HashChallenger
+    from linea_stark_tpu.fri.grind import grind
+
+    bits = 13  # > the host-fallback threshold of 12
+
+    ch_host = HashChallenger()
+    ch_host.observe(12345)
+    ch_host.observe(67890)
+    w_host = ch_host.grind(bits)
+
+    ch_dev = HashChallenger()
+    ch_dev.observe(12345)
+    ch_dev.observe(67890)
+    monkeypatch.setenv("LINEA_TPU_BACKEND", "pallas")
+    w_dev = grind(ch_dev, bits, batch=4096)
+
+    assert w_dev == w_host  # both take the smallest witness
+    assert ch_dev.input_buffer == ch_host.input_buffer
+    # next samples agree -> transcripts identical
+    assert ch_dev.sample() == ch_host.sample()
