@@ -65,10 +65,15 @@ def make_step(mesh, n: int, w: int, log_blowup: int, alpha_int: int,
         lde = sharded_coset_lde(cols, mesh, log_blowup, shift)
         # 3. Merkle commitment root (subtree + all_gather)
         root = sharded_merkle_root(lde, mesh)
-        # 4. quotient over the LDE domain
+        # 4. quotient on its degree-determined cosets -> (16, C, n)
         q = compute_quotient(lde, air, alpha_int, delta_int, gamma_int, n, shift)
-        # 5. two FRI folds with ppermute exchange
-        f1 = sharded_fold(q, 3, shift, omega_lde, mesh)
+        # 5. two FRI folds with ppermute exchange (structural stand-in
+        # codeword: the chunk evals flattened back to one row-sharded axis)
+        f0 = jax.lax.with_sharding_constraint(
+            q.reshape(NUM_LIMBS, -1),
+            NamedSharding(mesh, P(None, ROWS_AXIS)),
+        )
+        f1 = sharded_fold(f0, 3, shift, omega_lde, mesh)
         f2 = sharded_fold(
             f1, 9, (shift * shift) % R_MOD, (omega_lde * omega_lde) % R_MOD, mesh
         )
@@ -106,6 +111,6 @@ def dryrun(n_devices: int) -> None:
     jitted = jax.jit(step)
     root, folded = jitted(a, b, alpha, delta)
     jax.block_until_ready((root, folded))
-    n_lde = n << log_blowup
-    assert folded.shape == (NUM_LIMBS, n_lde // 4)
+    # two halvings of the flattened (C=2 chunks × n) quotient codeword
+    assert folded.shape == (NUM_LIMBS, 2 * n // 4)
     assert root.shape == (NUM_LIMBS,)

@@ -75,17 +75,22 @@ def sharded_ntt(x: jax.Array, mesh: Mesh, inverse: bool = False) -> jax.Array:
         base_pow = jnp.take(dev_base, dev, axis=-1)  # (16,) w^{dev·n2loc}
         row1 = fr.mul(
             _powers_device(w, n2loc), jnp.broadcast_to(base_pow[:, None], (NUM_LIMBS, n2loc))
-        )  # w^{i2} for local i2  — wait: this is w^{dev·n2loc}·w^{j} = w^{global i2} ✓
-        # T rows by block doubling over k1
-        t = fr.ones((1, n2loc))
-        size = 1
-        cur_pow = row1  # w^{i2·size}
-        while size < n1:
-            scaled = fr.mul(t, cur_pow[:, None, :])
-            t = jnp.concatenate([t, scaled], axis=1)
-            cur_pow = fr.mul(cur_pow, cur_pow)
-            size *= 2
-        t = t[:, :n1]  # (16, n1, n2loc): T[k1, j]
+        )  # w^{dev·n2loc}·w^{j} = w^{global i2}
+        # T[k1, j] = (w^{i2})^{k1} by ONE binary-exponent scan (2 multiply
+        # graphs instead of log2(n1) doubling graphs — compile leanness).
+        k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+
+        def pow_body(carry, t_):
+            res, base = carry
+            bit = ((k1 >> t_) & 1) != 0
+            return (jnp.where(bit, fr.mul(res, base), res), fr.mul(base, base)), None
+
+        steps = max((n1 - 1).bit_length(), 0)
+        (t, _), _ = jax.lax.scan(
+            pow_body,
+            (fr.ones((n1, n2loc)), row1[:, None, :]),
+            jnp.arange(steps, dtype=jnp.int32),
+        )  # (16, n1, n2loc): T[k1, j]
         v = fr.mul(v, jnp.swapaxes(t, 1, 2)[:, None])  # align (n2loc, n1)
         # transpose 2: shard k1, localize i2
         v = jax.lax.all_to_all(v, ax, split_axis=3, concat_axis=2, tiled=True)
@@ -120,18 +125,26 @@ def sharded_merkle_root(
     w, n = matrix.shape[1], matrix.shape[-1]
     d = _axis_size(mesh)
 
+    def subtree_root(dig):
+        """Root of a (16, m) digest layer via ONE fixed-shape scan: each step
+        compresses the (halving) valid prefix in place — one compiled
+        compression body for all log2(m) levels."""
+        m = dig.shape[-1]
+        if m == 1:
+            return dig
+
+        def body(buf, _):
+            nxt = p2.compress(buf[..., 0::2], buf[..., 1::2], params)
+            return jnp.concatenate([nxt, jnp.zeros_like(nxt)], axis=-1), None
+
+        buf, _ = jax.lax.scan(body, dig, None, length=m.bit_length() - 1)
+        return buf[..., :1]
+
     def local_fn(ml):
         dig = p2.hash_columns([ml[:, i] for i in range(w)], params)
-        size = dig.shape[-1]
-        while size > 1:
-            dig = p2.compress(dig[..., 0::2], dig[..., 1::2], params)
-            size //= 2
-        roots = jax.lax.all_gather(dig, ROWS_AXIS, axis=-1, tiled=True)  # (16, D)
-        size = d
-        while size > 1:
-            roots = p2.compress(roots[..., 0::2], roots[..., 1::2], params)
-            size //= 2
-        return roots[..., 0]
+        sub = subtree_root(dig)  # (16, 1)
+        roots = jax.lax.all_gather(sub, ROWS_AXIS, axis=-1, tiled=True)  # (16, D)
+        return subtree_root(roots)[..., 0]
 
     fn = shard_map(
         local_fn,
@@ -143,14 +156,92 @@ def sharded_merkle_root(
     return fn(matrix)
 
 
+def sharded_tree_levels(
+    matrix: jax.Array,
+    mesh: Mesh,
+    params: p2.Poseidon2Params = p2.DEFAULT_PARAMS,
+) -> list:
+    """Every Merkle digest level of a (16, W, N) matrix, rows sharded.
+
+    Levels 0..log2(N/D) are built locally (a contiguous leaf block's subtree
+    digests are a contiguous block of every level — concatenating the local
+    levels IS the global level, so the out_specs row-shard them with no
+    communication).  The top log2(D) levels are computed replicated from the
+    all-gathered (16, D) subtree-root layer.  Returns the full global level
+    list ([0] = leaf digests ... [-1] = (16, 1) root), ready to drop into a
+    :class:`MerkleTree` — the sharded analog of ``mmcs.commit`` that retains
+    everything query opening needs (round-1 gap: ``sharded_merkle_root``
+    returned only the root, so no sharded openings were possible).
+    """
+    w, n = matrix.shape[1], matrix.shape[-1]
+    d = _axis_size(mesh)
+    nloc = n // d
+    log_local = nloc.bit_length() - 1
+
+    from ..merkle.mmcs import _scan_tree_levels
+
+    class _H:
+        @staticmethod
+        def compress(a, b):
+            return p2.compress(a, b, params)
+
+    def local_fn(ml):
+        dig = p2.hash_columns([ml[:, i] for i in range(w)], params)
+        if nloc >= 4:
+            ups = _scan_tree_levels(dig, _H)  # one compiled compress body
+        else:
+            ups, s = [], nloc
+            cur = dig
+            while s > 1:
+                cur = p2.compress(cur[..., 0::2], cur[..., 1::2], params)
+                ups.append(cur)
+                s //= 2
+        return (dig, *ups)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, ROWS_AXIS),),
+        out_specs=tuple(P(None, ROWS_AXIS) for _ in range(log_local + 1)),
+        check_rep=False,
+    )
+    levels = list(fn(matrix))
+    # top levels: replicated compress sweeps of the (16, D) root layer
+    dig = levels[-1]
+    size = d
+    if size >= 4:
+        levels.extend(_scan_tree_levels(dig, _H))
+    else:
+        while size > 1:
+            dig = p2.compress(dig[..., 0::2], dig[..., 1::2], params)
+            levels.append(dig)
+            size //= 2
+    return levels
+
+
+def sharded_commit(matrix: jax.Array, mesh: Mesh, hasher=None):
+    """Full sharded MMCS commitment of one (16, W, N) row-sharded matrix."""
+    from ..hash.hasher import Poseidon2Hasher, make_hasher
+    from ..merkle.mmcs import MerkleTree
+
+    h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
+    params = h.params if isinstance(h, Poseidon2Hasher) else p2.DEFAULT_PARAMS
+    levels = sharded_tree_levels(matrix, mesh, params)
+    return MerkleTree([matrix], [0], levels, h, None)
+
+
 def sharded_fold(
     f: jax.Array,
-    beta: int,
+    beta,
     shift_int: int,
     omega_int: int,
     mesh: Mesh,
 ) -> jax.Array:
     """One FRI fold of (16, N) -> (16, N/2), both contiguously row-sharded.
+
+    ``beta`` is a host int (structural dryrun) or a (16,) Montgomery device
+    scalar (the real prover — a host int would be baked into the jit cache
+    as a per-proof constant).
 
     Output block o on device o needs a-values from device o//2 (half of its
     block selected by o%2) and b-values from device D/2 + o//2 — delivered
@@ -166,7 +257,9 @@ def sharded_fold(
     # (ω^{-1})^{dev·out_block} per output device
     dev_base = _device_factor_table(inv_omega, d, out_block)
 
-    def local_fn(fl):
+    beta_is_arr = not isinstance(beta, int)
+
+    def local_fn(fl, *beta_arg):
         ax = ROWS_AXIS
         half_d = max(d // 2, 1)
         if d == 1:
@@ -198,13 +291,24 @@ def sharded_fold(
         invx = fr.mul_const(invx, (inv2 * inv_shift) % R_MOD)
         s = fr.mul_const(fr.add(sel_a, sel_b), inv2)
         diff = fr.mul(fr.sub(sel_a, sel_b), invx)
-        return fr.add(s, fr.mul_const(diff, beta))
+        if beta_is_arr:
+            scaled = fr.mul(
+                diff, jnp.broadcast_to(beta_arg[0][:, None], diff.shape)
+            )
+        else:
+            scaled = fr.mul_const(diff, beta)
+        return fr.add(s, scaled)
 
+    in_specs = [P(None, ROWS_AXIS)]
+    args = [f]
+    if beta_is_arr:
+        in_specs.append(P(None))
+        args.append(beta)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, ROWS_AXIS),),
+        in_specs=tuple(in_specs),
         out_specs=P(None, ROWS_AXIS),
         check_rep=False,
     )
-    return fn(f)
+    return fn(*args)

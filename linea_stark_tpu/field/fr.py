@@ -75,28 +75,29 @@ def const(value_int: int, mont: bool = True) -> jax.Array:
 
 
 def pack_ints(values, mont: bool = True) -> np.ndarray:
-    """Host helper: list of canonical Python ints -> uint32 (16, N)."""
+    """Host helper: list of canonical Python ints -> uint32 (16, N).
+
+    Vectorized over numpy object (bigint) arrays — the per-element Python
+    loop dominated host marshalling time at query/trace scale."""
+    vals = np.array([int(v) for v in values], dtype=object) % R_MOD
+    if mont:
+        vals = (vals * oracle.MONT_R) % R_MOD
     out = np.empty((NUM_LIMBS, len(values)), dtype=np.uint32)
-    for k, v in enumerate(values):
-        x = v % R_MOD
-        if mont:
-            x = oracle.to_mont(x)
-        for i in range(NUM_LIMBS):
-            out[i, k] = (x >> (LIMB_BITS * i)) & LIMB_MASK
+    for i in range(NUM_LIMBS):
+        out[i] = ((vals >> (LIMB_BITS * i)) & LIMB_MASK).astype(np.uint32)
     return out
 
 
 def unpack_ints(arr, mont: bool = True) -> list:
     """Host helper: uint32 (16, N) -> list of canonical Python ints."""
     a = np.asarray(arr)
-    flat = a.reshape(NUM_LIMBS, -1)
-    out = []
-    for k in range(flat.shape[1]):
-        x = 0
-        for i in range(NUM_LIMBS):
-            x |= int(flat[i, k]) << (LIMB_BITS * i)
-        out.append(oracle.from_mont(x) if mont else x)
-    return out
+    flat = a.reshape(NUM_LIMBS, -1).astype(object)
+    acc = flat[NUM_LIMBS - 1]
+    for i in range(NUM_LIMBS - 2, -1, -1):
+        acc = acc * (1 << LIMB_BITS) + flat[i]
+    if mont:
+        acc = (acc * oracle.MONT_R_INV) % R_MOD
+    return acc.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -225,24 +226,89 @@ def mul_limb_lists(la: list, lb: list) -> list:
     return _cond_sub_r(res[:NUM_LIMBS])
 
 
-def _pad_add(acc: jax.Array, val: jax.Array, offset: int) -> jax.Array:
-    """acc[offset:offset+16] += val as zero-pad + add (single fusible op)."""
-    total = acc.shape[0]
-    pad = [(offset, total - NUM_LIMBS - offset)] + [(0, 0)] * (acc.ndim - 1)
-    return acc + jnp.pad(val, pad)
-
-
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Montgomery product a·b·R^{-1} mod r (CIOS, radix 2**16).
 
-    Stacked-limb formulation: each of the 16 schoolbook steps multiplies the
-    *whole* 16-limb stack of ``a`` by one scalar limb of ``b`` (one wide VPU
-    multiply), splits lo/hi, and accumulates with shifted zero-padded adds.
-    This keeps the emitted graph ~400 HLO ops per multiply (vs ~2700 for the
-    per-limb loop) — compile time matters because a full prove traces tens of
-    thousands of multiplies.  The per-element hot path on TPU is the Pallas
-    kernel (kernels/), which uses :func:`mul_limb_lists` instead.
+    Dispatches between two implementations with identical semantics:
+
+    * ``mul_wide`` — fully unrolled stacked-limb CIOS, ~400 HLO ops per
+      multiply.  Fastest at runtime (XLA fuses across the whole chain) but
+      expensive to compile; used on TPU where the truly hot per-element ops
+      go through the Pallas kernels anyway.
+    * ``mul_scan`` — interleaved CIOS as a 16-step ``lax.scan``, ~30 HLO ops
+      per multiply.  This is the compile-friendly form: XLA-CPU compile of a
+      full prove graph (and GSPMD partitioning of the sharded pipeline over a
+      virtual mesh) is minutes with ``mul_wide`` and seconds with
+      ``mul_scan``.  Default on CPU (tests, the multi-chip dryrun).
+
+    Override with ``LINEA_FR_MUL=scan|wide``.
     """
+    return mul_scan(a, b) if _use_scan_mul() else mul_wide(a, b)
+
+
+_MUL_IMPL_RESOLVED: bool | None = None
+
+
+def _use_scan_mul() -> bool:
+    global _MUL_IMPL_RESOLVED
+    if _MUL_IMPL_RESOLVED is None:
+        import os
+
+        choice = os.environ.get("LINEA_FR_MUL", "auto")
+        if choice == "auto":
+            choice = "scan" if jax.default_backend() == "cpu" else "wide"
+        _MUL_IMPL_RESOLVED = choice == "scan"
+    return _MUL_IMPL_RESOLVED
+
+
+def mul_scan(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Interleaved CIOS Montgomery product as a ``lax.scan`` over b's limbs.
+
+    Per step: accumulate a·b_j and m·r at fixed limb offsets, then shift the
+    accumulator right one limb — the emitted graph is one small scan body
+    instead of a 16×-unrolled chain.  Accumulator bound: each limb gathers
+    ≤ 4·(2**16−1) + carries per step over ≤ 16 steps, < 2**22 ≪ 2**32.
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def _align(x):
+        pad = (1,) * (len(batch) - (x.ndim - 1))
+        x = x.reshape((NUM_LIMBS,) + pad + x.shape[1:])
+        return jnp.broadcast_to(x, (NUM_LIMBS, *batch))
+
+    a = _align(a)
+    b = _align(b)
+    r = _r_stacked().reshape((NUM_LIMBS,) + (1,) * len(batch))
+
+    def pad1(val, off):
+        pad = [(off, 1 - off)] + [(0, 0)] * len(batch)
+        return jnp.pad(val, pad)
+
+    def body(acc, b_j):
+        p = a * b_j[None]
+        acc = acc + pad1(p & _MASK, 0) + pad1(p >> LIMB_BITS, 1)
+        m = (jnp.zeros_like(acc[0]) - acc[0]) & _MASK  # -r^{-1} mod 2^16
+        q = m[None] * r
+        acc = acc + pad1(q & _MASK, 0) + pad1(q >> LIMB_BITS, 1)
+        carry = acc[0] >> LIMB_BITS  # acc[0] ≡ 0 mod 2^16 now
+        acc = jnp.concatenate(
+            [acc[1:2] + carry[None], acc[2:], jnp.zeros((1, *batch), U32)], axis=0
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((NUM_LIMBS + 1, *batch), dtype=U32)
+    acc, _ = jax.lax.scan(body, acc0, b)
+    res = _carry_norm([acc[i] for i in range(NUM_LIMBS + 1)])
+    # value < 2r < 2**254: fits in 16 limbs after normalization.
+    return _stack(_cond_sub_r(res[:NUM_LIMBS]))
+
+
+def mul_wide(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Unrolled stacked-limb CIOS: each of the 16 schoolbook steps multiplies
+    the whole 16-limb stack of ``a`` by one scalar limb of ``b`` (one wide
+    VPU multiply), splits lo/hi, and accumulates with shifted zero-padded
+    adds.  The per-element hot path on TPU is the Pallas kernel (kernels/),
+    which uses :func:`mul_limb_lists` instead."""
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (NUM_LIMBS, *batch))
     acc = jnp.zeros((2 * NUM_LIMBS + 1, *batch), dtype=U32)
@@ -290,7 +356,7 @@ def pow_const(a: jax.Array, e: int) -> jax.Array:
     assert e >= 0
     if e == 0:
         return ones(a.shape[1:])
-    if e.bit_length() <= 16:
+    if e.bit_length() <= 16 and not (_use_scan_mul() and e > 3):
         result = None
         base = a
         while True:
@@ -367,12 +433,43 @@ def from_mont(a: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Batch inversion (Montgomery's trick, scan-based)
+# Prefix scans / batch inversion (compile-lean single-scan formulations)
 # ---------------------------------------------------------------------------
 
+def prefix_scan(x: jax.Array, op: str = "mul", reverse: bool = False) -> jax.Array:
+    """Inclusive prefix (suffix with ``reverse``) product/sum along the last
+    axis, as ONE ``lax.scan`` over Hillis-Steele doubling offsets.
+
+    The shift-by-k is a gather at clip(i∓k) plus a validity select, so every
+    doubling step shares one compiled body with a single field multiply (the
+    unrolled form emits log2(N) separate multiply graphs — XLA compile time,
+    not arithmetic, is the binding constraint on the non-Pallas path).
+    """
+    n = x.shape[-1]
+    if n <= 1:
+        return x
+    combine = mul if op == "mul" else add
+    steps = (n - 1).bit_length()
+    ks = jnp.asarray([1 << t for t in range(steps)], dtype=jnp.int32)
+    i = jnp.arange(n, dtype=jnp.int32)
+
+    def body(v, k):
+        if reverse:
+            idx = jnp.minimum(i + k, n - 1)
+            valid = (i + k) < n
+        else:
+            idx = jnp.maximum(i - k, 0)
+            valid = i >= k
+        g = jnp.take(v, idx, axis=-1)
+        return jnp.where(valid, combine(v, g), v), None
+
+    out, _ = jax.lax.scan(body, x, ks)
+    return out
+
+
 def batch_inverse(x: jax.Array, axis: int = -1) -> jax.Array:
-    """Invert every element along ``axis`` with two parallel prefix-product
-    scans plus one Fermat inversion.
+    """Invert every element along ``axis`` with two prefix-product scans plus
+    one Fermat inversion.
 
     inv(x_i) = (prod_{j<i} x_j) · (prod_{j>i} x_j) · inv(prod_j x_j)
 
@@ -383,32 +480,20 @@ def batch_inverse(x: jax.Array, axis: int = -1) -> jax.Array:
     """
     axis = axis % x.ndim
     assert axis != 0, "axis 0 is the limb axis"
+    if axis != x.ndim - 1:
+        xm = jnp.moveaxis(x, axis, -1)
+        return jnp.moveaxis(batch_inverse(xm, -1), -1, axis)
 
-    def comb(a, b):
-        return mul(a, b)
+    n = x.shape[-1]
+    prefix_inc = prefix_scan(x, "mul")
+    suffix_inc = prefix_scan(x, "mul", reverse=True)
 
-    prefix_inc = jax.lax.associative_scan(comb, x, axis=axis)
-    suffix_inc = jax.lax.associative_scan(comb, x, axis=axis, reverse=True)
+    one_block = ones(x.shape[1:-1] + (1,))
 
-    n = x.shape[axis]
-    one_block = ones(tuple(1 if d == axis else s for d, s in enumerate(x.shape[1:], start=1)))
+    def exc(arr, rev):
+        body = arr[..., 1:] if rev else arr[..., : n - 1]
+        parts = (body, one_block) if rev else (one_block, body)
+        return jnp.concatenate(parts, axis=-1)
 
-    def shift(arr, rev):
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(1, None) if rev else slice(0, n - 1)
-        body = arr[tuple(sl)]
-        pad = jnp.broadcast_to(
-            one_block, tuple(1 if d == axis else s for d, s in enumerate(x.shape))
-        )
-        parts = (body, pad) if rev else (pad, body)
-        return jnp.concatenate(parts, axis=axis)
-
-    prefix_exc = shift(prefix_inc, rev=False)   # prod_{j<i}
-    suffix_exc = shift(suffix_inc, rev=True)    # prod_{j>i}
-
-    sl_last = [slice(None)] * x.ndim
-    sl_last[axis] = slice(n - 1, n)
-    total = prefix_inc[tuple(sl_last)]
-    total_inv = inv(total)
-
-    return mul(mul(prefix_exc, suffix_exc), total_inv)
+    total = prefix_inc[..., n - 1 :]
+    return mul(mul(exc(prefix_inc, False), exc(suffix_inc, True)), inv(total))

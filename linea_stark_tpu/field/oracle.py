@@ -46,13 +46,16 @@ def pow_(a: int, e: int) -> int:
     return pow(a, e, R_MOD)
 
 
+MONT_R_INV = pow(MONT_R, R_MOD - 2, R_MOD)
+
+
 def to_mont(a: int) -> int:
     return (a * MONT_R) % R_MOD
 
 
 def from_mont(a: int) -> int:
     # a * R^{-1} mod r
-    return (a * pow(MONT_R, R_MOD - 2, R_MOD)) % R_MOD
+    return (a * MONT_R_INV) % R_MOD
 
 
 def mont_mul(a: int, b: int) -> int:

@@ -123,6 +123,22 @@ def powers(base_int: int, count: int) -> jax.Array:
     p = jnp.asarray(fr.pack_ints(first))
     if count <= b:
         p = p[..., :count]
+    elif not use_pallas():
+        # Single-scan binary-exponent form (one multiply graph instead of
+        # log2(count/B) doubling graphs — XLA-CPU compile leanness).
+        steps = (count - 1).bit_length()
+        bases = jnp.asarray(
+            fr.pack_ints([pow(base, 1 << t, R_MOD) for t in range(steps)])
+        ).T  # (steps, 16)
+        k = jnp.arange(count, dtype=jnp.int32)
+        ts = jnp.arange(steps, dtype=jnp.int32)
+
+        def body(res, xs):
+            base_t, t = xs
+            bit = ((k >> t) & 1) != 0
+            return jnp.where(bit, fr.mul(res, base_t[:, None]), res), None
+
+        p, _ = jax.lax.scan(body, fr.ones((count,)), (bases, ts))
     else:
         size = b
         while size < count:
@@ -163,13 +179,7 @@ def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
         from .kernels import pallas_field as pf
 
         return pf.scan(x, "mul", reverse)
-    n = x.shape[-1]
-    one = fr.ones(()).reshape((NUM_LIMBS,) + (1,) * (x.ndim - 1))
-    k = 1
-    while k < n:
-        x = mul(x, _shift_fill(x, k, one, reverse))
-        k *= 2
-    return x
+    return fr.prefix_scan(x, "mul", reverse)
 
 
 def prefix_sum(x: jax.Array, reverse: bool = False) -> jax.Array:
@@ -178,13 +188,17 @@ def prefix_sum(x: jax.Array, reverse: bool = False) -> jax.Array:
         from .kernels import pallas_field as pf
 
         return pf.scan(x, "add", reverse)
-    n = x.shape[-1]
-    zero = fr.zeros(()).reshape((NUM_LIMBS,) + (1,) * (x.ndim - 1))
-    k = 1
-    while k < n:
-        x = add(x, _shift_fill(x, k, zero, reverse))
-        k *= 2
-    return x
+    return fr.prefix_scan(x, "add", reverse)
+
+
+def mul_scalar_arr(a: jax.Array, c: jax.Array) -> jax.Array:
+    """Multiply (16, *batch) by one device-resident (16,) Montgomery scalar
+    (SMEM-resident on the Pallas path — no broadcast materialization)."""
+    if use_pallas():
+        from .kernels import pallas_field as pf
+
+        return pf.mul_scalar(a, c)
+    return fr.mul(a, c.reshape((NUM_LIMBS,) + (1,) * (a.ndim - 1)))
 
 
 def to_mont(x: jax.Array) -> jax.Array:
@@ -225,6 +239,28 @@ def batch_inverse(x: jax.Array) -> jax.Array:
 
         return pf.mul3_scalar(pre_exc, suf_exc, total_inv.reshape(NUM_LIMBS))
     return mul(mul(pre_exc, suf_exc), total_inv)
+
+
+def weighted_sums_to_ints(mat: jax.Array, u: jax.Array) -> list:
+    """Σ_j mat[:, c, j]·u[:, j] per column of (16, W, N); W canonical ints.
+
+    Pallas path: ONE fused multiply+block-sum dispatch for all W columns
+    (the barycentric-open hot loop); fallback multiplies column-at-a-time to
+    bound the materialized product."""
+    w = mat.shape[1]
+    if use_pallas() and mat.shape[-1] >= 128:
+        from .kernels import pallas_field as pf
+
+        partials = np.asarray(pf.weighted_block_sums_128(mat, u))
+        vals = fr.unpack_ints(partials.reshape(NUM_LIMBS, -1), mont=False)
+        out = []
+        for c in range(w):
+            acc = 0
+            for v in vals[c * 128 : (c + 1) * 128]:
+                acc = oracle.add(acc, v)
+            out.append(oracle.from_mont(acc))
+        return out
+    return [sum_to_ints(mul(mat[:, c], u)[:, None, :])[0] for c in range(w)]
 
 
 def sum_to_ints(x: jax.Array) -> list:

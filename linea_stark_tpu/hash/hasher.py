@@ -62,6 +62,10 @@ class Poseidon2Hasher:
             return pk.tree_levels_br(d_br, self.params)
         return None
 
+    @property
+    def has_subtree_kernel(self) -> bool:
+        return use_pallas()
+
 
 # ---------------------------------------------------------------------------
 # Keccak
@@ -180,6 +184,10 @@ class KeccakHasher:
 
     def compress_ints(self, a, b):
         return kk.keccak256_field([a, b])
+
+    @property
+    def has_subtree_kernel(self) -> bool:
+        return False
 
 
 def make_hasher(obj):

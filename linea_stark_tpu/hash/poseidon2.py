@@ -196,6 +196,43 @@ def _mont_const_rows(rows) -> jnp.ndarray:
     return jnp.asarray(arr)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _round_schedule(params: Poseidon2Params):
+    """Host-precomputed per-round (constants, is_external) arrays.
+
+    Returns (rc, flags): rc is (R, 16, 3) Montgomery limb constants (internal
+    rounds pad lanes 1-2 with zero — adding 0 is the identity), flags is (R,)
+    uint32 with 1 for external rounds.
+    """
+    import numpy as np
+
+    from ..field.constants import to_limbs
+
+    rows = []
+    flags = []
+    for rc3 in params.external_constants(0):
+        rows.append(list(rc3))
+        flags.append(1)
+    for c in params.internal_constants():
+        rows.append([c, 0, 0])
+        flags.append(0)
+    for rc3 in params.external_constants(1):
+        rows.append(list(rc3))
+        flags.append(1)
+    rc = np.zeros((len(rows), 16, WIDTH), dtype=np.uint32)
+    for r, row in enumerate(rows):
+        for lane, c in enumerate(row):
+            # 0 must stay 0 in the additive position (Montgomery 0 is 0).
+            limbs = to_limbs(oracle.to_mont(c)) if c else to_limbs(0)
+            rc[r, :, lane] = limbs
+    # Cache numpy, not device arrays: a device array created during a jit
+    # trace would leak that trace's tracer into later calls.
+    return rc, np.asarray(flags, dtype=np.uint32)
+
+
 def permute(
     s0: jax.Array,
     s1: jax.Array,
@@ -204,33 +241,41 @@ def permute(
 ):
     """Vectorized permutation of a batch of states; each s_i is (16, *batch).
 
-    Rounds with identical structure run as ``lax.scan`` over their constant
-    schedule: the traced graph holds one external-round body and one
-    internal-round body (~20 field multiplies) instead of 46 unrolled rounds,
-    keeping compile times flat while the per-lane arithmetic is unchanged.
+    All 46 rounds run as ONE ``lax.scan`` over a unified round body: the
+    traced graph holds a single x^11 S-box chain (5 field multiplies) plus
+    lane selects, instead of 46 unrolled rounds (or separate external /
+    internal bodies).  Compile time of the XLA limb graphs is the binding
+    constraint off-TPU (the Pallas kernel owns the TPU hot path); internal
+    rounds waste the S-box work of lanes 1-2, which is irrelevant there.
     """
     alpha = params.alpha
-    ext0 = _mont_const_rows(params.external_constants(0))  # (rf/2, 3, 16)
-    ext1 = _mont_const_rows(params.external_constants(1))
-    intc = _mont_const_rows([[c] for c in params.internal_constants()])  # (rp, 1, 16)
+    rc_np, flags_np = _round_schedule(params)
+    rc_all, flags = jnp.asarray(rc_np), jnp.asarray(flags_np)
+    batch = s0.shape[1:]
+    x = jnp.stack([s0, s1, s2], axis=1)  # (16, 3, *batch)
 
-    def ext_body(state, rc):
-        t0, t1, t2 = state
-        t0 = _sbox(fr.add(t0, rc[0]), alpha)
-        t1 = _sbox(fr.add(t1, rc[1]), alpha)
-        t2 = _sbox(fr.add(t2, rc[2]), alpha)
-        return _external(t0, t1, t2), None
+    def matmul_ext(v):
+        t = fr.add(fr.add(v[:, 0], v[:, 1]), v[:, 2])
+        return jnp.stack([fr.add(v[:, 0], t), fr.add(v[:, 1], t), fr.add(v[:, 2], t)], axis=1)
 
-    def int_body(state, rc):
-        t0, t1, t2 = state
-        t0 = _sbox(fr.add(t0, rc[0]), alpha)
-        return _internal(t0, t1, t2), None
+    def body(v, xs):
+        rc, is_ext = xs  # rc: (16, 3); is_ext: scalar uint32
+        ext_mask = jnp.broadcast_to(is_ext.astype(jnp.bool_), batch)
+        h = _sbox(fr.add(v, rc.reshape((16, WIDTH) + (1,) * len(batch))), alpha)
+        lane0 = h[:, 0]
+        lane1 = fr.select(ext_mask, h[:, 1], v[:, 1])
+        lane2 = fr.select(ext_mask, h[:, 2], v[:, 2])
+        t = fr.add(fr.add(lane0, lane1), lane2)
+        y0 = fr.add(lane0, t)
+        y1 = fr.add(lane1, t)
+        # internal matrix doubles lane 2 (M_I diag d = (1,1,2)).
+        extra = fr.select(ext_mask, fr.zeros(batch), lane2)
+        y2 = fr.add(fr.add(lane2, extra), t)
+        return jnp.stack([y0, y1, y2], axis=1), None
 
-    state = _external(s0, s1, s2)
-    state, _ = jax.lax.scan(ext_body, state, ext0)
-    state, _ = jax.lax.scan(int_body, state, intc)
-    state, _ = jax.lax.scan(ext_body, state, ext1)
-    return state
+    x = matmul_ext(x)
+    x, _ = jax.lax.scan(body, x, (rc_all, flags))
+    return x[:, 0], x[:, 1], x[:, 2]
 
 
 def hash_columns(

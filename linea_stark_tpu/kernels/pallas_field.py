@@ -162,6 +162,72 @@ def block_sums_128(x: jax.Array, tile: int = 8192) -> jax.Array:
     return out.reshape(NUM_LIMBS, w, 128)
 
 
+def _wsum128_kernel(x_ref, u_ref, o_ref):
+    """Fused multiply + reduce: (16, T) block of one column times the shared
+    (16, T) weight block, folded to (16, 128) partial sums, accumulating
+    across the inner grid dimension."""
+    j = pl.program_id(1)
+    t = x_ref.shape[-1]
+    rows = t // 128
+    prod = fr.mul_limb_lists(
+        [x_ref[i] for i in range(NUM_LIMBS)], [u_ref[i] for i in range(NUM_LIMBS)]
+    )
+    v = [p.reshape(rows, 128) for p in prod]
+    while rows > 1:
+        half = rows // 2
+        v = fr.add_limb_lists([x[:half] for x in v], [x[half:] for x in v])
+        rows = half
+    partial = [x.reshape(128) for x in v]
+
+    @pl.when(j == 0)
+    def _():
+        for i in range(NUM_LIMBS):
+            o_ref[i] = partial[i]
+
+    @pl.when(j != 0)
+    def _():
+        acc = fr.add_limb_lists([o_ref[i] for i in range(NUM_LIMBS)], partial)
+        for i in range(NUM_LIMBS):
+            o_ref[i] = acc[i]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def weighted_block_sums_128(x: jax.Array, u: jax.Array, tile: int = 8192) -> jax.Array:
+    """(16, W, N) × (16, N) -> (16, W, 128) partial field sums of x[:,c]·u.
+
+    One dispatch evaluates every committed column's barycentric sum
+    Σ_j p_c(x_j)·u_j (u = x/(z−x) weights); the (16, W, 128) partials finish
+    host-side.  Replaces the per-column multiply+sum loop (W+C dispatches +
+    a full product materialization per column)."""
+    _, w, n = x.shape
+    t = min(tile, n)
+    while n % t:
+        t //= 2
+    assert t >= 128 and t % 128 == 0
+    flat = x.reshape(NUM_LIMBS, w * n)
+    blocks_per_col = n // t
+    out = pl.pallas_call(
+        _wsum128_kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, w * 128), x.dtype),
+        grid=(w, blocks_per_col),
+        in_specs=[
+            pl.BlockSpec(
+                (NUM_LIMBS, t),
+                lambda wi, j, b=blocks_per_col: (0, wi * b + j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NUM_LIMBS, t), lambda wi, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_LIMBS, 128), lambda wi, j: (0, wi), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(flat, u)
+    return out.reshape(NUM_LIMBS, w, 128)
+
+
 _SCAN_LANES = 128
 
 

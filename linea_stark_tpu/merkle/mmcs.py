@@ -118,52 +118,8 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
         return _commit_host(matrices, order, h)
     d = rows_digest(max_h)
     br_start = None
-    if single_height and not use_pallas() and max_h >= 4:
-        levels = [d] + _scan_tree_levels(d, h)
-    elif single_height and use_pallas():
-        # Halving sweeps down to VMEM residency, then ONE whole-subtree
-        # kernel dispatch for every remaining level (log2(N) fewer launches
-        # — launch latency dominated the FRI commit phase on a remote TPU).
-        levels = [d]
-        size = max_h
-        while size > TREE_SWEEP_SIZE and size > 1:
-            size //= 2
-            d = h.compress(d[..., 0::2], d[..., 1::2])
-            levels.append(d)
-        ups = None
-        if size > 1:
-            # Pad to the fixed sweep size (one compiled kernel serves every
-            # tree; garbage lanes never feed any valid digest) and permute to
-            # bit-reversed order (adjacent-pair compression becomes
-            # half-vs-half — the layout the kernel needs).
-            padded = d
-            if size < TREE_SWEEP_SIZE:
-                padded = jnp.concatenate(
-                    [d, jnp.zeros((d.shape[0], TREE_SWEEP_SIZE - size), d.dtype)],
-                    axis=-1,
-                )
-            d_br = jnp.take(padded, _bitrev_device(TREE_SWEEP_SIZE), axis=-1)
-            ups = getattr(h, "tree_levels_br", lambda _d: None)(d_br)
-        if size > 1 and ups is not None:
-            br_start = len(levels)
-            for l in range(1, size.bit_length()):
-                levels.append(ups[l - 1])
-        elif size > 1:
-            # Hasher without a subtree kernel (Keccak): halving sweeps +
-            # host finish for the tiny top.
-            while size > HOST_TREE_THRESHOLD and size > 1:
-                size //= 2
-                d = h.compress(d[..., 0::2], d[..., 1::2])
-                levels.append(d)
-            if size > 1:
-                vals = fr.unpack_ints(np.asarray(d))
-                while size > 1:
-                    size //= 2
-                    vals = [
-                        h.compress_ints(vals[2 * i], vals[2 * i + 1])
-                        for i in range(size)
-                    ]
-                    levels.append(jnp.asarray(fr.pack_ints(vals)))
+    if single_height:
+        levels, br_start = build_levels_single(d, h)
     else:
         levels = [d]
         size = max_h
@@ -175,6 +131,93 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
                 d = h.compress(d, inj)
             levels.append(d)
     return MerkleTree(list(matrices), order, levels, h, br_start)
+
+
+def br_start_for(height: int, hasher) -> "int | None":
+    """Shape-only predictor of :func:`build_levels_single`'s ``br_start``
+    (needed when the levels are produced inside a jit, which can only return
+    arrays)."""
+    h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
+    if not use_pallas() or height <= 1 or not getattr(h, "has_subtree_kernel", False):
+        return None
+    size = height
+    n_sweeps = 0
+    while size > TREE_SWEEP_SIZE and size > 1:
+        size //= 2
+        n_sweeps += 1
+    return 1 + n_sweeps if size > 1 else None
+
+
+def build_levels_single(d: jax.Array, h, defer_subtree: bool = False) -> tuple:
+    """All digest levels above a (16, N) leaf layer (jit-safe: pure jnp /
+    Pallas ops).  Returns (levels, br_start) — levels[0] is the leaf layer.
+
+    ``defer_subtree=True`` (Pallas subtree-kernel path only): stop at the
+    VMEM-residency boundary and return (levels, d_br) with the padded
+    bit-reversed layer instead of calling the whole-subtree kernel — callers
+    that run under their own jit invoke ``h.tree_levels_br`` as a separate
+    standalone program so ONE compiled subtree kernel serves every caller
+    shape (inlining it per FRI-level shape was a compile bomb).
+    """
+    max_h = d.shape[-1]
+    br_start = None
+    if not use_pallas():
+        if max_h >= 4:
+            return [d] + _scan_tree_levels(d, h), None
+        levels = [d]
+        size = max_h
+        while size > 1:
+            size //= 2
+            d = h.compress(d[..., 0::2], d[..., 1::2])
+            levels.append(d)
+        return levels, None
+    # Pallas: halving sweeps down to VMEM residency, then ONE whole-subtree
+    # kernel dispatch for every remaining level (log2(N) fewer launches —
+    # launch latency dominated the FRI commit phase on a remote TPU).
+    levels = [d]
+    size = max_h
+    while size > TREE_SWEEP_SIZE and size > 1:
+        size //= 2
+        d = h.compress(d[..., 0::2], d[..., 1::2])
+        levels.append(d)
+    ups = None
+    d_br = None
+    if size > 1:
+        # Pad to the fixed sweep size (one compiled kernel serves every
+        # tree; garbage lanes never feed any valid digest) and permute to
+        # bit-reversed order (adjacent-pair compression becomes
+        # half-vs-half — the layout the kernel needs).
+        padded = d
+        if size < TREE_SWEEP_SIZE:
+            padded = jnp.concatenate(
+                [d, jnp.zeros((d.shape[0], TREE_SWEEP_SIZE - size), d.dtype)],
+                axis=-1,
+            )
+        d_br = jnp.take(padded, _bitrev_device(TREE_SWEEP_SIZE), axis=-1)
+        if defer_subtree and getattr(h, "has_subtree_kernel", False):
+            return levels, d_br
+        ups = getattr(h, "tree_levels_br", lambda _d: None)(d_br)
+    if size > 1 and ups is not None:
+        br_start = len(levels)
+        for l in range(1, size.bit_length()):
+            levels.append(ups[l - 1])
+    elif size > 1:
+        # Hasher without a subtree kernel (Keccak): halving sweeps +
+        # host finish for the tiny top.
+        while size > HOST_TREE_THRESHOLD and size > 1:
+            size //= 2
+            d = h.compress(d[..., 0::2], d[..., 1::2])
+            levels.append(d)
+        if size > 1:
+            vals = fr.unpack_ints(np.asarray(d))
+            while size > 1:
+                size //= 2
+                vals = [
+                    h.compress_ints(vals[2 * i], vals[2 * i + 1])
+                    for i in range(size)
+                ]
+                levels.append(jnp.asarray(fr.pack_ints(vals)))
+    return levels, br_start
 
 
 def _commit_host(matrices, order, h) -> MerkleTree:
@@ -238,57 +281,89 @@ class BatchOpening:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _gather_levels(levels, idx):
-    """Gather idx[l] from each level l in one compiled dispatch.
+@jax.jit
+def _gather_batch(mats, midx, lvls, lidx):
+    """All row + sibling gathers of a whole opening batch in ONE dispatch.
 
-    levels: tuple of (16, n_l) arrays (n_l halving); idx: (L, Q) int32.
-    Returns (16, L, Q) — one device round-trip for a whole auth-path batch
-    instead of one per level (the remote-TPU dispatch latency made per-level
-    gathers the dominant cost of the FRI query phase)."""
-    outs = [jnp.take(lvl, idx[l], axis=-1) for l, lvl in enumerate(levels)]
-    return jnp.stack(outs, axis=1)
+    mats: tuple of (16, W_k, N_k); midx: matching (Q,) index tuples;
+    lvls: tuple of (16, n) digest levels; lidx: matching (Q,) index tuples
+    (all index vectors padded to one common Q).  Returns
+    (16, ΣW, Q) concatenated rows and (16, L, Q) stacked siblings — the
+    remote-TPU dispatch latency made per-level/per-tree gathers the dominant
+    cost of the FRI query phase."""
+    rows = (
+        jnp.concatenate([jnp.take(m, i, axis=-1) for m, i in zip(mats, midx)], axis=1)
+        if mats
+        else jnp.zeros((16, 0, midx[0].shape[0] if midx else 0), jnp.uint32)
+    )
+    sibs = (
+        jnp.stack([jnp.take(l, i, axis=-1) for l, i in zip(lvls, lidx)], axis=1)
+        if lvls
+        else jnp.zeros((16, 0, 0), jnp.uint32)
+    )
+    return rows, sibs
 
 
-def open_at(tree: MerkleTree, indices: Sequence[int]) -> list:
-    """Open the tree at several leaf indices (device gathers, host assembly)."""
-    heights = [m.shape[2] for m in tree.matrices]
-    max_h = max(heights)
-    log_max = max_h.bit_length() - 1
-    idx_np = np.asarray(indices, dtype=np.int32)
-    idx = jnp.asarray(idx_np)
-
-    # Rows of every matrix at its scaled index.
-    rows_per_matrix = []
-    for m, h in zip(tree.matrices, heights):
-        shift = log_max - (h.bit_length() - 1)
-        mi = idx >> shift
-        rows_per_matrix.append(np.asarray(jnp.take(m, mi, axis=-1)))  # (16, W, Q)
-
-    # Sibling digests: all (level, query) pairs in one gather.  Kernel-built
-    # levels store natural index s at array position bitrev(s).
-    if log_max > 0:
-        sib_idx = np.empty((log_max, len(indices)), dtype=np.int32)
+def open_batch(requests) -> list:
+    """Open several trees, each at its own index list, with ONE device
+    dispatch + ONE host transfer.  ``requests``: [(MerkleTree, [indices])].
+    Returns one list of :class:`BatchOpening` per request."""
+    q_max = max((len(idx) for _, idx in requests), default=0)
+    mats, midx, lvls, lidx = [], [], [], []
+    meta = []
+    for tree, indices in requests:
+        heights = [m.shape[2] for m in tree.matrices]
+        max_h = max(heights)
+        log_max = max_h.bit_length() - 1
+        idx_np = np.zeros(q_max, dtype=np.int64)
+        idx_np[: len(indices)] = np.asarray(indices, dtype=np.int64)
+        m_slots = []
+        for m, h in zip(tree.matrices, heights):
+            shift = log_max - (h.bit_length() - 1)
+            m_slots.append((len(mats), m.shape[1]))
+            mats.append(m)
+            midx.append(jnp.asarray((idx_np >> shift).astype(np.int32)))
+        s_slots = []
         cur = idx_np.copy()
         for lvl in range(log_max):
             s = cur ^ 1
             if tree.br_start is not None and lvl >= tree.br_start:
                 s = _bitrev_table(tree.levels[lvl].shape[-1])[s]
-            sib_idx[lvl] = s
+            s_slots.append(len(lvls))
+            lvls.append(tree.levels[lvl])
+            lidx.append(jnp.asarray(s.astype(np.int32)))
             cur >>= 1
-        sibs_all = np.asarray(
-            _gather_levels(tuple(tree.levels[:log_max]), jnp.asarray(sib_idx))
-        )  # (16, L, Q)
-    openings = []
-    for q, index in enumerate(indices):
-        rows = []
-        for k, rm in enumerate(rows_per_matrix):
-            rows.append(fr.unpack_ints(rm[:, :, q]))
-        sibs = (
-            fr.unpack_ints(sibs_all[:, :, q]) if log_max > 0 else []
-        )
-        openings.append(BatchOpening(int(index), rows, sibs))
-    return openings
+        meta.append((list(indices), m_slots, s_slots))
+
+    rows_all, sibs_all = _gather_batch(tuple(mats), tuple(midx), tuple(lvls), tuple(lidx))
+    rows_np, sibs_np = np.asarray(rows_all), np.asarray(sibs_all)
+    rows_ints = fr.unpack_ints(rows_np) if rows_np.size else []
+    sibs_ints = fr.unpack_ints(sibs_np) if sibs_np.size else []
+
+    # per-slot column offsets into the concatenated width axis
+    _w_off = {}
+    off = 0
+    for k, m in enumerate(mats):
+        _w_off[k] = off
+        off += m.shape[1]
+
+    out = []
+    for (indices, m_slots, s_slots) in meta:
+        openings = []
+        for q, index in enumerate(indices):
+            rows = [
+                [rows_ints[(_w_off[slot] + c) * q_max + q] for c in range(w)]
+                for slot, w in m_slots
+            ]
+            sibs = [sibs_ints[s * q_max + q] for s in s_slots]
+            openings.append(BatchOpening(int(index), rows, sibs))
+        out.append(openings)
+    return out
+
+
+def open_at(tree: MerkleTree, indices: Sequence[int]) -> list:
+    """Open the tree at several leaf indices (device gathers, host assembly)."""
+    return open_batch([(tree, indices)])[0]
 
 
 def verify_opening(

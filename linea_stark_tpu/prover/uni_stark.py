@@ -87,17 +87,29 @@ def _barycentric_open(
         oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
     )
     u = fo.mul(x_vec, denom_inv)  # shared across columns
-    # Column-at-a-time: a whole-matrix product would materialize a (16, W, N)
-    # broadcast pair (~4 GB for the 14-wide 2^22 LDE) and OOM a single chip.
-    vals = []
-    for c in range(matrix_lde.shape[1]):
-        vals.append(fo.sum_to_ints(fo.mul(matrix_lde[:, c], u)[:, None, :])[0])
+    # One fused multiply+reduce dispatch for all columns (Pallas); the
+    # fallback streams column-at-a-time so no (16, W, N) product pair is
+    # ever materialized (~4 GB at the 14-wide 2^22 LDE).
+    vals = fo.weighted_sums_to_ints(matrix_lde, u)
     return [oracle.mul(v, const) for v in vals]
 
 
 # ---------------------------------------------------------------------------
 # Quotient
 # ---------------------------------------------------------------------------
+
+def num_quotient_chunks(air: LineaAir) -> int:
+    """Degree-aware chunk count: the quotient has degree
+    < (max_deg−1)·n (numerator ≤ max_deg·(n−1)+1 minus the vanishing n), so
+    ⌈(max_deg−1)⌉ rounded up to a power of two cosets determine it — the
+    verifier infers the same count from the AIR (the reference's "infer log
+    of constraint degree", bench.log:70), vs committing blowup chunks."""
+    deg = max(air.max_constraint_degree, 2)
+    c = 1
+    while c < deg - 1:
+        c *= 2
+    return c
+
 
 def compute_quotient(
     trace_lde: jax.Array,
@@ -107,57 +119,96 @@ def compute_quotient(
     gamma: int,
     n: int,
     shift: int,
+    n_chunks: int = None,
 ) -> jax.Array:
-    """Vectorized constraint evaluation over the LDE domain -> quotient evals.
+    """Vectorized constraint evaluation -> quotient evals, coset-major.
 
-    ``next`` row access is a roll by `blowup` (one original-domain step on
-    the LDE grid).  Constraints are folded with γ^k in enumeration order,
-    grouped by selector so each selector/vanishing factor multiplies one
-    accumulated vector (bench.log:21 "compute quotient polynomial").
+    Only the first ``n_chunks`` cosets of the LDE domain are evaluated (the
+    quotient's degree needs no more, see :func:`num_quotient_chunks`) — a
+    blowup/n_chunks-fold saving over evaluating the whole LDE domain.  Input
+    ``trace_lde``: (16, W, n_lde) interleaved evals on shift·H_lde.  Output:
+    (16, n_chunks, n) where slice i holds the quotient's values on coset
+    shift·ω_lde^i·H_n — exactly the chunk-poly evaluations to commit.
+
+    ``next`` row access is a roll by one position along the coset's own
+    n-point axis (one original-domain step).  Constraints are folded with
+    γ^k in enumeration order, grouped by selector so each selector /
+    vanishing factor multiplies one accumulated vector (bench.log:21).
     """
     n_lde = trace_lde.shape[-1]
     blowup = n_lde // n
+    if n_chunks is None:
+        n_chunks = num_quotient_chunks(air)
+    assert n_chunks <= blowup
+    c = n_chunks
     log_lde = n_lde.bit_length() - 1
     omega_lde = root_of_unity(log_lde)
     omega_n = root_of_unity(n.bit_length() - 1)
 
-    alg = VectorAlgebra((n_lde,))
-    alpha_d = fr.full((n_lde,), alpha)
-    delta_d = fr.full((n_lde,), delta)
+    # (16, W, n_lde) interleaved -> (16, W, C, n) coset-major subsample.
+    # Strided slices keep the big n axis minor-most: a reshape to
+    # (..., n, blowup) would make the tiny blowup axis minor and TPU tiling
+    # pads minor dims to 128 lanes — an 8-64x padded transposed copy that
+    # OOMs HBM at the 2^19 workload.
+    w = trace_lde.shape[1]
+    sub = jnp.stack(
+        [trace_lde[..., i::blowup] for i in range(c)], axis=2
+    )  # (16, W, C, n)
 
-    rolled = jnp.roll(trace_lde, -blowup, axis=-1)
-    local = lambda i: trace_lde[:, i]
+    # Challenges may be host ints (single-chip eager path) or (16,) device
+    # scalars (the sharded jitted path — baking them as trace constants
+    # would poison the jit cache across proves).
+    def _bcast(v):
+        if isinstance(v, int):
+            return fr.full((c, n), v)
+        return jnp.broadcast_to(v[:, None, None], (NUM_LIMBS, c, n))
+
+    alg = VectorAlgebra((c, n))
+    alpha_d = _bcast(alpha)
+    delta_d = _bcast(delta)
+
+    rolled = jnp.roll(sub, -1, axis=-1)
+    local = lambda i: sub[:, i]
     nxt = lambda i: rolled[:, i]
 
     acc = {s: None for s in Sel}
-    gk = 1
+    gk = 1 if isinstance(gamma, int) else fr.ones(())
     for sel, val in air.eval(local, nxt, alpha_d, delta_d, alg):
-        term = fo.mul_const(val, gk)
+        if isinstance(gamma, int):
+            term = fo.mul_const(val, gk)
+            gk_next = oracle.mul(gk, gamma)
+        else:
+            term = fo.mul_scalar_arr(val, gk)
+            gk_next = fr.mul(gk, gamma)
         acc[sel] = term if acc[sel] is None else fo.add(acc[sel], term)
-        gk = oracle.mul(gk, gamma)
+        gk = gk_next
 
-    # Domain vectors.
-    x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), shift)
-    # Z_H(x) = x^n − 1 is blowup-periodic on the LDE domain.
+    # Domain: x[i, t] = shift·ω_lde^i·ω_n^t (coset i, position t).
+    coset_shifts = fo.mul_const(_powers_device(omega_lde, c), shift)  # (16, C)
+    x_vec = fo.mul(coset_shifts[:, :, None], _powers_device(omega_n, n)[:, None, :])
+    # Z_H(x) = x^n − 1 is constant on each coset.
     s_n = pow(shift, n, R_MOD)
     omega_b = pow(omega_lde, n, R_MOD)  # order `blowup`
-    z_vals = [
-        oracle.sub(oracle.mul(s_n, pow(omega_b, i, R_MOD)), 1) for i in range(blowup)
-    ]
-    inv_z = jnp.tile(
-        jnp.asarray(fr.pack_ints([oracle.inv(z) for z in z_vals])), n_lde // blowup
-    )
+    inv_z = jnp.asarray(
+        fr.pack_ints(
+            [
+                oracle.inv(oracle.sub(oracle.mul(s_n, pow(omega_b, i, R_MOD)), 1))
+                for i in range(c)
+            ]
+        )
+    )[:, :, None]  # (16, C, 1)
     last = pow(omega_n, n - 1, R_MOD)
-    one_v = fr.ones((n_lde,))
+    one_v = fr.ones((c, n))
+    x_minus_last = fo.sub(x_vec, fr.full((c, n), last))
     # One fused inversion for both selector denominators.
     sel_stack = jnp.concatenate(
-        [fo.sub(x_vec, one_v), fo.sub(x_vec, fr.full((n_lde,), last))], axis=-1
-    )
-    sel_inv = fo.batch_inverse(sel_stack)
-    x_minus_1_inv = sel_inv[..., :n_lde]
-    x_minus_last_inv = sel_inv[..., n_lde:]
+        [fo.sub(x_vec, one_v), x_minus_last], axis=-1
+    ).reshape(NUM_LIMBS, 2 * c * n)
+    sel_inv = fo.batch_inverse(sel_stack).reshape(NUM_LIMBS, c, 2 * n)
+    x_minus_1_inv = sel_inv[..., :n]
+    x_minus_last_inv = sel_inv[..., n:]
 
-    q = fr.zeros((n_lde,))
+    q = fr.zeros((c, n))
     if acc[Sel.EVERY] is not None:
         q = fo.add(q, fo.mul(acc[Sel.EVERY], inv_z))
     if acc[Sel.FIRST] is not None:
@@ -165,7 +216,7 @@ def compute_quotient(
     if acc[Sel.LAST] is not None:
         q = fo.add(q, fo.mul(acc[Sel.LAST], x_minus_last_inv))
     if acc[Sel.TRANSITION] is not None:
-        t = fo.mul(acc[Sel.TRANSITION], fo.sub(x_vec, fr.full((n_lde,), last)))
+        t = fo.mul(acc[Sel.TRANSITION], x_minus_last)
         q = fo.add(q, fo.mul(t, inv_z))
     return q
 
@@ -229,7 +280,6 @@ def prove(
     log_n = n.bit_length() - 1
     log_lde = log_n + fri_cfg.log_blowup
     n_lde = 1 << log_lde
-    blowup = fri_cfg.blowup
     omega_lde = root_of_unity(log_lde)
     omega_n = root_of_unity(log_n)
 
@@ -249,17 +299,17 @@ def prove(
     gamma = challenger.sample()
 
     # --- quotient ----------------------------------------------------------
-    with span("compute quotient polynomial"):
-        q_evals = compute_quotient(trace_lde, air, alpha, delta, gamma, n, shift)
+    n_chunks = num_quotient_chunks(air)
+    with span("compute quotient polynomial", dims=f"{n_chunks}x{n}"):
+        # (16, C, n): chunk i = quotient values on coset shift·ω_lde^i·H_n
+        # (degree-aware C, not blowup — 4× less committed data for deg-3).
+        chunks = compute_quotient(trace_lde, air, alpha, delta, gamma, n, shift)
 
-    # Split by cosets: chunk i = values at indices ≡ i (mod blowup).
     with span("commit quotient chunks"):
-        chunks = q_evals.reshape(NUM_LIMBS, n, blowup).transpose(0, 2, 1)  # (16,B,n)
-        del q_evals
-        with span("coset_lde_batch", dims=f"{blowup}x{n}"):
+        with span("coset_lde_batch", dims=f"{n_chunks}x{n}"):
             chunk_stack = _chunk_ldes_batched(
                 chunks, fri_cfg.log_blowup, shift, omega_lde
-            )  # (16, B, n_lde)
+            )  # (16, C, n_lde)
         del chunks
         # One width-B matrix: leaf hashes are identical to B width-1 matrices
         # of equal height (columns concatenate in order), and it avoids B
@@ -328,6 +378,12 @@ def prove(
         f_host = None  # int-list codeword once the tail goes host-side
         cur_shift, cur_omega, size = shift, omega_lde, n_lde
         betas, fold_trees, fold_roots = [], [], []
+        from ..backend import use_pallas as _up
+
+        # Fused fold+leaf-hash+tree jit needs a jit-safe level builder; the
+        # Pallas Keccak path finishes tiny tree tops host-side, so it keeps
+        # the unfused loop.
+        fused_ok = not (_up() and not getattr(mh, "has_subtree_kernel", False))
         commit_span = span("commit phase (fold+commit per level)")
         commit_span.__enter__()
         while size > final_size:
@@ -335,6 +391,36 @@ def prove(
             betas.append(beta)
             if f_host is None and size <= 2 * _FRI_HOST_TAIL:
                 f_host = fr.unpack_ints(np.asarray(f))
+            will_commit = size // 2 > final_size
+            if f_host is None and fused_ok and will_commit:
+                # ONE device dispatch: fold -> halves -> leaf hash -> every
+                # tree level (the per-level dispatch+root round trip is the
+                # only remaining latency).
+                inv2 = pow(2, R_MOD - 2, R_MOD)
+                inv_sh = pow(cur_shift, R_MOD - 2, R_MOD)
+                inv_om = pow(cur_omega, R_MOD - 2, R_MOD)
+                inv2x = fo.mul_const(
+                    fo.powers(inv_om, size // 2), (inv2 * inv_sh) % R_MOD
+                )
+                beta_l = jnp.asarray(fr.pack_ints([beta]))[:, 0]
+                f, halves, levels, tail = _fused_fold_commit(f, beta_l, inv2x, mh)
+                levels = list(levels)
+                br_start = mmcs.br_start_for(size // 4, mh)
+                if br_start is not None:
+                    # top levels via the shared standalone subtree program
+                    ups = mh.tree_levels_br(tail)
+                    rem = min(size // 4, mmcs.TREE_SWEEP_SIZE)
+                    for l in range(1, rem.bit_length()):
+                        levels.append(ups[l - 1])
+                t = mmcs.MerkleTree([halves], [0], levels, mh, br_start)
+                fold_trees.append(t)
+                root = t.root_int()
+                fold_roots.append(root)
+                challenger.observe(root)
+                cur_shift = (cur_shift * cur_shift) % R_MOD
+                cur_omega = (cur_omega * cur_omega) % R_MOD
+                size //= 2
+                continue
             if f_host is None:
                 f = fold_codeword(f, beta, cur_shift, cur_omega)
             else:
@@ -342,7 +428,7 @@ def prove(
             cur_shift = (cur_shift * cur_shift) % R_MOD
             cur_omega = (cur_omega * cur_omega) % R_MOD
             size //= 2
-            if size > final_size:
+            if will_commit:
                 if f_host is None:
                     halves = jnp.stack(
                         [f[:, : size // 2], f[:, size // 2 :]], axis=1
@@ -390,13 +476,19 @@ def prove(
                 challenger.sample_bits(log_lde - 1) for _ in range(fri_cfg.num_queries)
             ]
             query_proofs = []
-            trace_open_pairs = _open_pairs(trace_tree, indices, half0)
-            quot_open_pairs = _open_pairs(quotient_tree, indices, half0)
-            level_openings = []
-            for li, t in enumerate(fold_trees):
+            # Every tree's row + auth-path gathers ride ONE device dispatch
+            # (the reference's query phase is 12.6 ms, bench.log:67 — ours
+            # was dispatch-latency-bound at one round trip per tree/level).
+            both = list(indices) + [i + half0 for i in indices]
+            requests = [(trace_tree, both), (quotient_tree, both)]
+            for t in fold_trees:
                 lv_half = t.matrices[0].shape[-1]  # height of halves matrix
-                pos = [idx % lv_half for idx in indices]
-                level_openings.append(mmcs.open_at(t, pos))
+                requests.append((t, [idx % lv_half for idx in indices]))
+            opened = mmcs.open_batch(requests)
+            nq = fri_cfg.num_queries
+            trace_open_pairs = (opened[0][:nq], opened[0][nq:])
+            quot_open_pairs = (opened[1][:nq], opened[1][nq:])
+            level_openings = opened[2:]
             for qi in range(fri_cfg.num_queries):
                 query_proofs.append(
                     QueryProof(
@@ -423,6 +515,34 @@ def prove(
             query_proofs=query_proofs,
         ),
     )
+
+
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("mh",))
+def _fused_fold_commit(f, beta_l, inv2x, mh):
+    """One FRI level as ONE compiled program: fold (16, N) -> (16, N/2),
+    stack the halves matrix, leaf-hash it, and build the digest levels down
+    to the subtree-kernel boundary.  On the Pallas path the remaining top
+    levels come from the caller's standalone ``tree_levels_br`` call — ONE
+    compiled subtree program shared by every level/tree shape (inlining it
+    here recompiled it per FRI-level shape: a compile bomb).  The per-level
+    transcript round trip (observe root, sample next β) is the only
+    remaining host↔device latency of the commit phase."""
+    half = f.shape[-1] // 2
+    a, b = f[..., :half], f[..., half:]
+    inv2 = pow(2, R_MOD - 2, R_MOD)
+    s = fo.mul_const(fo.add(a, b), inv2)
+    d = fo.mul_scalar_arr(fo.mul(fo.sub(a, b), inv2x), beta_l)
+    f2 = fo.add(s, d)
+    q = half // 2
+    halves = jnp.stack([f2[:, :q], f2[:, q:]], axis=1)
+    leaf = mh.compress(f2[:, :q], f2[:, q:])
+    levels, tail = mmcs.build_levels_single(leaf, mh, defer_subtree=True)
+    if tail is None or isinstance(tail, int):  # XLA path: levels complete
+        return f2, halves, tuple(levels), leaf[..., :1]
+    return f2, halves, tuple(levels), tail  # tail = padded bit-reversed layer
 
 
 # FRI folds at/below this size run on the host (int lists): the tail levels
@@ -458,12 +578,6 @@ def _interpolate_host(evals: list, shift_int: int) -> list:
     return coeffs
 
 
-def _open_pairs(tree, indices, half):
-    both = mmcs.open_at(tree, list(indices) + [i + half for i in indices])
-    q = len(indices)
-    return both[:q], both[q:]
-
-
 # ---------------------------------------------------------------------------
 # Verify
 # ---------------------------------------------------------------------------
@@ -492,7 +606,6 @@ def verify(
         raise VerificationError("width mismatch with AIR")
     log_lde = proof.log_n + fri_cfg.log_blowup
     n_lde = 1 << log_lde
-    blowup = fri_cfg.blowup
     omega_lde = root_of_unity(log_lde)
     omega_n = root_of_unity(proof.log_n)
 
@@ -547,15 +660,20 @@ def verify(
         folded = oracle.add(folded, oracle.mul(oracle.mul(gk, sf), val))
         gk = oracle.mul(gk, gamma)
 
-    # recompose q(ζ) from chunk openings
+    # recompose q(ζ) from chunk openings (chunk count inferred from the AIR's
+    # constraint degree, mirroring the reference verifier's "infer log of
+    # constraint degree" step, bench.log:70)
+    n_chunks = num_quotient_chunks(air)
+    if len(proof.quotient_chunks_at_zeta) != n_chunks:
+        raise VerificationError("wrong number of quotient chunks")
     s_n = pow(shift, n, R_MOD)
     omega_b = pow(omega_lde, n, R_MOD)
-    c_n = [oracle.mul(s_n, pow(omega_b, i, R_MOD)) for i in range(blowup)]
+    c_n = [oracle.mul(s_n, pow(omega_b, i, R_MOD)) for i in range(n_chunks)]
     zeta_n = pow(zeta, n, R_MOD)
     q_zeta = 0
-    for i in range(blowup):
+    for i in range(n_chunks):
         li = 1
-        for j in range(blowup):
+        for j in range(n_chunks):
             if j != i:
                 li = oracle.mul(
                     li,
@@ -572,7 +690,7 @@ def verify(
 
     # --- FRI query checks --------------------------------------------------
     trace_hw = [(n_lde, w)]
-    quot_hw = [(n_lde, blowup)]  # one width-B matrix (see prove)
+    quot_hw = [(n_lde, n_chunks)]  # one width-C matrix (see prove)
     half0 = n_lde // 2
 
     for qi, idx in enumerate(indices):

@@ -82,9 +82,14 @@ def _decode_item(f):
             return out
         n = _read_uint(f, info)
         return {_decode_item(f): _decode_item(f) for _ in range(n)}
-    if major == 6:  # tag: skip, return the tagged item
-        _read_uint(f, info)
-        return _decode_item(f)
+    if major == 6:  # tag
+        tag = _read_uint(f, info)
+        item = _decode_item(f)
+        if tag == 2:  # unsigned bignum (RFC 8949 §3.4.3)
+            return int.from_bytes(item, "big")
+        if tag == 3:  # negative bignum
+            return -1 - int.from_bytes(item, "big")
+        return item
     if major == 7:
         if info == 20:
             return False
@@ -129,10 +134,14 @@ def _encode_item(out: bytearray, v) -> None:
     if isinstance(v, bool):
         out.append(0xF5 if v else 0xF4)
     elif isinstance(v, int):
-        if v >= 0:
-            _write_head(out, 0, v)
-        else:
-            _write_head(out, 1, -1 - v)
+        mag = v if v >= 0 else -1 - v
+        if mag < 2**64:
+            _write_head(out, 0 if v >= 0 else 1, mag)
+        else:  # bignum: tag 2/3 + BE byte string (field elements are 253-bit)
+            _write_head(out, 6, 2 if v >= 0 else 3)
+            data = mag.to_bytes((mag.bit_length() + 7) // 8, "big")
+            _write_head(out, 2, len(data))
+            out.extend(data)
     elif isinstance(v, (bytes, bytearray)):
         _write_head(out, 2, len(v))
         out.extend(v)

@@ -127,8 +127,16 @@ def test_coset_lde_from_source_coset():
     assert got == expect
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_pallas_four_step_matches_xla():
-    """The Pallas four-step path (interpret mode on CPU) agrees with XLA."""
+    """The Pallas four-step path (interpret mode on CPU) agrees with XLA.
+
+    Interpret-mode execution of the unrolled radix-4 kernel takes >10 min on
+    CPU; marked slow (the TPU bench exercises the compiled kernel directly).
+    """
     import os
 
     from linea_stark_tpu.kernels.pallas_ntt import ntt_pallas

@@ -9,6 +9,11 @@ import random
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# Interpret-mode execution of the unrolled Pallas kernel bodies is minutes
+# per test on CPU; the TPU bench exercises the compiled kernels for real.
+pytestmark = pytest.mark.slow
 
 from linea_stark_tpu import fr_ops as fo
 from linea_stark_tpu.field import fr
