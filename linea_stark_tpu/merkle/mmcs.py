@@ -36,6 +36,7 @@ import numpy as np
 
 from ..backend import use_pallas
 from ..field import fr
+from ..field.constants import NUM_LIMBS
 from ..hash import poseidon2 as p2
 from ..hash.hasher import make_hasher
 
@@ -364,6 +365,97 @@ def open_batch(requests) -> list:
 def open_at(tree: MerkleTree, indices: Sequence[int]) -> list:
     """Open the tree at several leaf indices (device gathers, host assembly)."""
     return open_batch([(tree, indices)])[0]
+
+
+def verify_openings_batch(requests, hasher=None) -> bool:
+    """Verify MANY single-matrix openings in one device-batched sweep.
+
+    ``requests``: [(root_int, (height, width), BatchOpening)].  All lanes'
+    leaf row-hashes run as one batched sponge; the authentication-path walk
+    runs as ONE ``lax.scan`` over tree depth (lanes whose tree is shorter
+    carry through unchanged) — the scalar per-node Python hashing made the
+    verifier ~2x slower than the reference's (bench.log:69).  Only
+    single-matrix commitments (no multi-height injection) are supported;
+    callers with injected rows use :func:`verify_opening`.
+
+    Returns True iff every opening verifies.
+    """
+    import jax
+
+    from ..field import oracle
+    from ..hash import poseidon2 as p2
+
+    from ..hash.hasher import Poseidon2Hasher
+
+    h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
+    if not requests:
+        return True
+    if not isinstance(h, Poseidon2Hasher):  # Keccak etc.: scalar fallback
+        return all(
+            verify_opening(root, [hw], op, h) for root, hw, op in requests
+        )
+    # group lanes by row width so each group's leaf hash is one batched call
+    by_w = {}
+    for root, (ht, w), op in requests:
+        if len(op.rows) != 1 or len(op.rows[0]) != w:
+            return False
+        log_h = ht.bit_length() - 1
+        if len(op.siblings) != log_h:
+            return False
+        by_w.setdefault(w, []).append((root, log_h, op))
+    params = h.params if hasattr(h, "params") else p2.DEFAULT_PARAMS
+
+    ok = True
+    for w, lanes in by_w.items():
+        q = len(lanes)
+        max_l = max(l for _, l, _ in lanes)
+        rows = np.zeros((w, q), dtype=object)
+        sibs = np.zeros((max_l, q), dtype=object)
+        parity = np.zeros((max_l, q), dtype=np.uint32)
+        active = np.zeros((max_l, q), dtype=np.uint32)
+        for k, (root, log_h, op) in enumerate(lanes):
+            for c in range(w):
+                rows[c, k] = op.rows[0][c]
+            idx = op.index
+            for l in range(log_h):
+                sibs[l, k] = op.siblings[l]
+                parity[l, k] = idx & 1
+                active[l, k] = 1
+                idx >>= 1
+        rows_d = jnp.asarray(fr.pack_ints(list(rows.reshape(-1)))).reshape(
+            NUM_LIMBS, w, q
+        )
+        sibs_d = jnp.asarray(fr.pack_ints(list(sibs.reshape(-1)))).reshape(
+            NUM_LIMBS, max_l, q
+        )
+        final = _walk_paths(
+            rows_d, sibs_d, jnp.asarray(parity), jnp.asarray(active), w, params
+        )
+        got = fr.unpack_ints(np.asarray(final))
+        for k, (root, _, _) in enumerate(lanes):
+            ok = ok and got[k] == root
+    return ok
+
+
+@functools.partial(jax.jit, static_argnames=("w", "params"))
+def _walk_paths(rows_d, sibs_d, parity_d, active_d, w, params):
+    """Batched leaf hash + ONE scan over tree depth for all lanes."""
+    from ..hash import poseidon2 as p2
+
+    dig = p2.hash_columns([rows_d[:, c] for c in range(w)], params)
+
+    def body(d, xs):
+        sib, par, act = xs
+        par = par.astype(bool)
+        left = fr.select(par, sib, d)
+        right = fr.select(par, d, sib)
+        nxt = p2.compress(left, right, params)
+        return fr.select(act.astype(bool), nxt, d), None
+
+    out, _ = jax.lax.scan(
+        body, dig, (jnp.moveaxis(sibs_d, 1, 0), parity_d, active_d)
+    )
+    return out
 
 
 def verify_opening(

@@ -689,23 +689,49 @@ def verify(
         raise VerificationError("quotient identity failed at zeta")
 
     # --- FRI query checks --------------------------------------------------
-    trace_hw = [(n_lde, w)]
-    quot_hw = [(n_lde, n_chunks)]  # one width-C matrix (see prove)
+    trace_hw = (n_lde, w)
+    quot_hw = (n_lde, n_chunks)  # one width-C matrix (see prove)
     half0 = n_lde // 2
+
+    # All Merkle openings (input trees + every fold level, every query) are
+    # checked in one device-batched sweep (mmcs.verify_openings_batch) —
+    # scalar per-node hashing made verify slower than the reference's 944 ms.
+    merkle_requests = []
+    num_levels_chk = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
+    for qi, idx in enumerate(indices):
+        qp = proof.fri.query_proofs[qi]
+        if len(qp.input_openings) != 2 or any(
+            len(pair) != 2 for pair in qp.input_openings
+        ):
+            raise VerificationError("malformed input openings")
+        (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
+        merkle_requests.append((proof.trace_root, trace_hw, t_lo))
+        merkle_requests.append((proof.trace_root, trace_hw, t_hi))
+        merkle_requests.append((proof.quotient_root, quot_hw, q_lo))
+        merkle_requests.append((proof.quotient_root, quot_hw, q_hi))
+        if len(qp.commit_openings) != max(num_levels_chk - 1, 0):
+            raise VerificationError("malformed fold openings")
+        size_q = half0
+        for li in range(1, num_levels_chk):
+            lv_half = size_q // 2
+            merkle_requests.append(
+                (proof.fri.commit_roots[li - 1], (lv_half, 2), qp.commit_openings[li - 1])
+            )
+            size_q = lv_half
+    if not mmcs.verify_openings_batch(merkle_requests, mh):
+        raise VerificationError("Merkle opening failed")
 
     for qi, idx in enumerate(indices):
         qp = proof.fri.query_proofs[qi]
         (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
-        for opening, root, hws, want_idx in (
-            (t_lo, proof.trace_root, trace_hw, idx),
-            (t_hi, proof.trace_root, trace_hw, idx + half0),
-            (q_lo, proof.quotient_root, quot_hw, idx),
-            (q_hi, proof.quotient_root, quot_hw, idx + half0),
+        for opening, want_idx in (
+            (t_lo, idx),
+            (t_hi, idx + half0),
+            (q_lo, idx),
+            (q_hi, idx + half0),
         ):
             if opening.index != want_idx:
                 raise VerificationError("opening index mismatch")
-            if not mmcs.verify_opening(root, hws, opening, mh):
-                raise VerificationError("input Merkle opening failed")
 
         def reduced_at(x: int, t_open, q_open) -> int:
             acc = 0
@@ -743,10 +769,6 @@ def verify(
             op = qp.commit_openings[li - 1]
             if op.index != p:
                 raise VerificationError("fold opening index mismatch")
-            if not mmcs.verify_opening(
-                proof.fri.commit_roots[li - 1], [(lv_half, 2)], op, mh
-            ):
-                raise VerificationError("fold Merkle opening failed")
             lo_v, hi_v = op.rows[0]
             expect = lo_v if pos < lv_half else hi_v
             if v != expect:

@@ -90,3 +90,21 @@ def test_wrong_public_values_rejected():
     ch = HashChallenger((), CFG.hash_params)
     with pytest.raises(VerificationError):
         verify(CFG, built.air, proof, [ALPHA, (DELTA + 1) % R_MOD], ch)
+
+
+def test_medium_height_crosses_fri_host_tail():
+    """n=2^11, blowup 4: the FRI codeword (2^13) folds across the
+    device->host tail threshold (512) and multiple committed fold levels —
+    nothing between the tiny shapes and the 2^19 bench exercised this
+    crossover before (round-1 verdict, weak #9)."""
+    raw = gen_permutation_trace(width=2, height=2048, seed=4)
+    built = build_trace([raw], [], ALPHA, DELTA, check=False)
+    cfg = StarkConfig(
+        fri=FriConfig(log_blowup=2, log_final_poly_len=0, num_queries=4,
+                      proof_of_work_bits=0)
+    )
+    ch = HashChallenger((), cfg.hash_params)
+    proof = prove(cfg, built.air, built.matrix, [ALPHA, DELTA], ch)
+    assert len(proof.fri.commit_roots) >= 3
+    ch = HashChallenger((), cfg.hash_params)
+    verify(cfg, built.air, proof, [ALPHA, DELTA], ch)
