@@ -289,7 +289,9 @@ def prove(
             trace_lde = coset_lde(trace, fri_cfg.log_blowup, shift)
         with span("merkle commit"):
             trace_tree = mmcs.commit([trace_lde], mh)
-    trace_root = trace_tree.root_int()
+            # root fetch = the phase's device sync; keep it inside the span
+            # so execution time is attributed, not just dispatch time
+            trace_root = trace_tree.root_int()
 
     challenger.observe(log_n)
     challenger.observe(w)
@@ -316,7 +318,7 @@ def prove(
         # full-height slice copies (2 GB at the 2^19 workload).
         with span("merkle commit"):
             quotient_tree = mmcs.commit([chunk_stack], mh)
-    quotient_root = quotient_tree.root_int()
+            quotient_root = quotient_tree.root_int()
 
     challenger.observe(quotient_root)
     zeta = challenger.sample()
@@ -433,13 +435,11 @@ def prove(
                     halves = jnp.stack(
                         [f[:, : size // 2], f[:, size // 2 :]], axis=1
                     )
+                    t = mmcs.commit([halves], mh)
+                    root = t.root_int()
                 else:
-                    halves = jnp.asarray(fr.pack_ints(f_host)).reshape(
-                        NUM_LIMBS, 2, size // 2
-                    )
-                t = mmcs.commit([halves], mh)
+                    t, root = _host_tail_commit(f_host, mh)
                 fold_trees.append(t)
-                root = t.root_int()
                 fold_roots.append(root)
                 challenger.observe(root)
 
@@ -447,7 +447,7 @@ def prove(
         # Final polynomial: iNTT on its coset, degree < 2^log_final_poly_len.
         if f_host is None:
             f_host = fr.unpack_ints(np.asarray(f))
-        final_all = _interpolate_host(f_host, cur_shift)
+        final_all = _interpolate_host(list(f_host), cur_shift)
         n_final = 1 << fri_cfg.log_final_poly_len
         final_poly = final_all[:n_final]
         if config.check_trace:
@@ -545,19 +545,36 @@ def _fused_fold_commit(f, beta_l, inv2x, mh):
     return f2, halves, tuple(levels), tail  # tail = padded bit-reversed layer
 
 
-# FRI folds at/below this size run on the host (int lists): the tail levels
-# are tiny and every sub-threshold device shape would cost a kernel compile.
-_FRI_HOST_TAIL = 512
+# FRI folds at/below this size run on the host as vectorized numpy-object
+# (bigint) arrays: every device tail level costs one tunnel round trip for
+# the root observe plus a per-shape kernel compile, while a whole host level
+# folds + commits in milliseconds (hash/np_poseidon2.py).
+_FRI_HOST_TAIL = 8192
 
 
-def _fold_host(f: list, beta: int, shift_int: int, omega_int: int) -> list:
-    half = len(f) // 2
-    out = []
-    x = shift_int % R_MOD
-    for i in range(half):
-        out.append(fold_pair_int(f[i], f[i + half], x, beta))
-        x = oracle.mul(x, omega_int)
-    return out
+def _fold_host(f, beta: int, shift_int: int, omega_int: int):
+    from ..hash import np_poseidon2 as npp
+
+    return npp.fold_vec(np.asarray(f, dtype=object), beta, shift_int, omega_int)
+
+
+def _host_tail_commit(f_host, mh):
+    """Commit the halves matrix of an object-array tail codeword host-side
+    (zero device dispatches; levels packed once for later query gathers)."""
+    from ..hash import np_poseidon2 as npp
+    from ..hash.hasher import Poseidon2Hasher
+
+    m = len(f_host) // 2
+    lo, hi = f_host[:m], f_host[m:]
+    halves = jnp.asarray(fr.pack_ints(list(lo) + list(hi))).reshape(
+        NUM_LIMBS, 2, m
+    )
+    if isinstance(mh, Poseidon2Hasher):
+        lv = npp.tree_levels_vec(npp.compress_vec(lo, hi, mh.params), mh.params)
+        levels = [jnp.asarray(fr.pack_ints(list(l))) for l in lv]
+        return mmcs.MerkleTree([halves], [0], levels, mh, None), int(lv[-1][0])
+    t = mmcs.commit([halves], mh)
+    return t, t.root_int()
 
 
 def _interpolate_host(evals: list, shift_int: int) -> list:
