@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--proof-out", metavar="FILE", help="write the CBOR proof")
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--report", action="store_true", help="print span timing tree")
+    p.add_argument("--hasher", choices=["poseidon2", "keccak"], default="poseidon2",
+                   help="MMCS hasher (the reference's compile-time alias sweep)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="row-shard the prove over an N-device mesh "
+                        "(0 = single device; multi-host: see dist/launch.py)")
     return p
 
 
@@ -96,6 +101,7 @@ def main(argv=None) -> int:
             proof_of_work_bits=args.pow_bits,
         ),
         hash_params=hash_params,
+        hasher=args.hasher,
     )
 
     timing.reset()
@@ -108,8 +114,22 @@ def main(argv=None) -> int:
     print("Proving...")
     t0 = time.time()
     with timing.span("prove"):
-        proof = prove(config, built.air, built.matrix, [alpha, delta],
-                      HashChallenger((), hash_params))
+        if args.mesh:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .dist.mesh import ROWS_AXIS, make_mesh
+            from .dist.prove import prove_sharded
+
+            mesh = make_mesh(args.mesh)
+            trace = jax.device_put(
+                built.matrix, NamedSharding(mesh, P(None, None, ROWS_AXIS))
+            )
+            proof = prove_sharded(config, built.air, trace, [alpha, delta],
+                                  HashChallenger((), hash_params), mesh)
+        else:
+            proof = prove(config, built.air, built.matrix, [alpha, delta],
+                          HashChallenger((), hash_params))
     print(f"Prove time: {time.time() - t0:.2f}s")
 
     if args.proof_out:
