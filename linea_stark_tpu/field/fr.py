@@ -216,7 +216,19 @@ def mul_limb_lists(la: list, lb: list) -> list:
     for i in range(NUM_LIMBS):
         m = (zero - acc[i]) & _MASK  # -r^{-1} mod 2^16 == 0xFFFF
         for j in range(NUM_LIMBS):
-            p = m * _R_LIMBS[j]
+            rj = _R_LIMBS[j]
+            # The modulus' limb structure saves ~25% of the reduction pass:
+            # r_1 = 0 (skip), r_0 = r_4 = 1 (no multiply, no hi word),
+            # r_2 = 0x8000 (a shift).
+            if rj == 0:
+                continue
+            if rj == 1:
+                acc[i + j] = acc[i + j] + m
+                continue
+            if rj & (rj - 1) == 0:
+                p = m << (rj.bit_length() - 1)  # < 2**31: no overflow
+            else:
+                p = m * rj
             acc[i + j] = acc[i + j] + (p & _MASK)
             acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
         # acc[i] is now ≡ 0 mod 2**16; fold its carry into the next limb.

@@ -39,6 +39,15 @@ class Poseidon2Hasher:
             return pk.leaf_hash(jnp.stack(cols, axis=1), self.params)
         return p2.hash_columns(cols, self.params)
 
+    def hash_matrix(self, m):
+        """Row-hash of a whole (16, W, N) matrix — no per-column slicing /
+        restacking (those cost ~2 full copies of the matrix in HBM)."""
+        if use_pallas():
+            from ..kernels import pallas_poseidon2 as pk
+
+            return pk.leaf_hash(m, self.params)
+        return p2.hash_columns([m[:, c] for c in range(m.shape[1])], self.params)
+
     def compress(self, left, right):
         if use_pallas():
             from ..kernels import pallas_poseidon2 as pk
