@@ -76,6 +76,19 @@ def main() -> int:
     verify(config, built.air, proof, [alpha, delta], HashChallenger())
     print(f"verify: {time.time() - t0:.2f}s (ok)", file=sys.stderr)
 
+    if pow_bits > 0:
+        # The grind scans candidates 0..w sequentially, so the witness value
+        # is the number of Poseidon2 permutations searched.
+        grind_s = timing.span_seconds("grind PoW")
+        if grind_s:
+            perms = proof.fri.pow_witness + 1
+            print(
+                f"PoW grind: {pow_bits} bits, witness {proof.fri.pow_witness}, "
+                f"{perms / grind_s / 1e6:.2f}M perms/s "
+                f"(reference CPU 0.22M perms/s)",
+                file=sys.stderr,
+            )
+
     print(json.dumps({
         "metric": f"prove_permutation_{width}x{width}_2^{log_h}",
         "value": round(prove_s, 3),

@@ -143,6 +143,20 @@ def _cond_sub_r(limbs: list) -> list:
     return [jnp.where(keep, limbs[i], t[i]) for i in range(NUM_LIMBS)]
 
 
+_R2X_LIMBS = [int(v) for v in to_limbs(2 * R_MOD)]
+
+
+def _cond_sub_2r(limbs: list) -> list:
+    """Subtract 2r if the 16-limb value is >= 2r (value must be < 4r).
+
+    Keeps lazy (< 2r, non-canonical) residues bounded through long in-kernel
+    chains: the Montgomery product of inputs < 3r is < 2r without any final
+    conditional subtract, so only additions need this half-reduction."""
+    t, borrow = _sub_borrow(limbs, _R2X_LIMBS)
+    keep = borrow.astype(jnp.bool_)
+    return [jnp.where(keep, limbs[i], t[i]) for i in range(NUM_LIMBS)]
+
+
 # ---------------------------------------------------------------------------
 # Ring ops (Montgomery-form agnostic: add/sub/neg work for any residues)
 # ---------------------------------------------------------------------------
@@ -196,23 +210,12 @@ def _pad_add(acc: jax.Array, val: jax.Array, offset: int) -> jax.Array:
     return acc + jnp.pad(val, pad)
 
 
-def mul_limb_lists(la: list, lb: list) -> list:
-    """Core CIOS Montgomery product on per-limb arrays (any broadcastable
-    shapes).  Used directly inside Pallas kernel bodies (where Mosaic keeps
-    every intermediate in registers/VMEM) and by the stacked XLA wrapper.
-
-    Accumulator bound: schoolbook pass contributes < 32·2**16 per position,
-    the reduction pass another < 32·2**16 plus small carries — all < 2**22,
-    far under the uint32 ceiling, so no intermediate normalization is needed.
-    """
-    zero = jnp.zeros(jnp.broadcast_shapes(jnp.shape(la[0]), jnp.shape(lb[0])), U32)
-    acc = [zero] * (2 * NUM_LIMBS + 1)
-    for i in range(NUM_LIMBS):
-        ai = la[i]
-        for j in range(NUM_LIMBS):
-            p = ai * lb[j]
-            acc[i + j] = acc[i + j] + (p & _MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
+def _mont_reduce_acc(acc: list, zero, reduce_final: bool) -> list:
+    """Shared Montgomery reduction pass over a (2·16+1)-entry schoolbook
+    accumulator.  With ``reduce_final`` the result is canonical (< r); without
+    it the result is < 2r whenever the operand product ab < 3r·3r — lazy
+    residues for in-kernel chains (callers keep values < 3r via
+    :func:`_cond_sub_2r` on additions)."""
     for i in range(NUM_LIMBS):
         m = (zero - acc[i]) & _MASK  # -r^{-1} mod 2^16 == 0xFFFF
         for j in range(NUM_LIMBS):
@@ -234,8 +237,64 @@ def mul_limb_lists(la: list, lb: list) -> list:
         # acc[i] is now ≡ 0 mod 2**16; fold its carry into the next limb.
         acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
     res = _carry_norm(acc[NUM_LIMBS : 2 * NUM_LIMBS + 1])
-    # value < 2r < 2**254: fits in 16 limbs after normalization.
-    return _cond_sub_r(res[:NUM_LIMBS])
+    # value < 2r < 2**254 (lazy) resp. < r (canonical): fits in 16 limbs.
+    if reduce_final:
+        return _cond_sub_r(res[:NUM_LIMBS])
+    return res[:NUM_LIMBS]
+
+
+def mul_limb_lists(la: list, lb: list, reduce_final: bool = True) -> list:
+    """Core CIOS Montgomery product on per-limb arrays (any broadcastable
+    shapes).  Used directly inside Pallas kernel bodies (where Mosaic keeps
+    every intermediate in registers/VMEM) and by the stacked XLA wrapper.
+
+    Accumulator bound: schoolbook pass contributes < 32·2**16 per position,
+    the reduction pass another < 32·2**16 plus small carries — all < 2**22,
+    far under the uint32 ceiling, so no intermediate normalization is needed.
+    """
+    zero = jnp.zeros(jnp.broadcast_shapes(jnp.shape(la[0]), jnp.shape(lb[0])), U32)
+    acc = [zero] * (2 * NUM_LIMBS + 1)
+    for i in range(NUM_LIMBS):
+        ai = la[i]
+        for j in range(NUM_LIMBS):
+            p = ai * lb[j]
+            acc[i + j] = acc[i + j] + (p & _MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
+    return _mont_reduce_acc(acc, zero, reduce_final)
+
+
+def sqr_limb_lists(la: list, reduce_final: bool = True) -> list:
+    """Montgomery squaring: the off-diagonal limb products a_i·a_j (i<j) are
+    accumulated once and the accumulator doubled — 136 lane multiplies vs the
+    256 of the general product (the S-box chain x² x⁴ x⁸ is 3 of its 5
+    multiplies, so this trims ~28% of the Poseidon2 kernel's schoolbook work).
+
+    Accumulator bound: off-diagonal ≤ 15·(2**16−1) < 2**20, doubled < 2**21,
+    plus diagonal and reduction contributions — still < 2**23 ≪ 2**32."""
+    zero = jnp.zeros(jnp.shape(la[0]), U32)
+    acc = [zero] * (2 * NUM_LIMBS + 1)
+    for i in range(NUM_LIMBS):
+        ai = la[i]
+        for j in range(i + 1, NUM_LIMBS):
+            p = ai * la[j]
+            acc[i + j] = acc[i + j] + (p & _MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (p >> LIMB_BITS)
+    acc = [a + a for a in acc]
+    for i in range(NUM_LIMBS):
+        p = la[i] * la[i]
+        acc[2 * i] = acc[2 * i] + (p & _MASK)
+        acc[2 * i + 1] = acc[2 * i + 1] + (p >> LIMB_BITS)
+    return _mont_reduce_acc(acc, zero, reduce_final)
+
+
+def add_limb_lists_lazy(la: list, lb: list) -> list:
+    """Lazy addition for in-kernel chains: result < 2r given inputs < 2r
+    (carry-normalize + one conditional subtract of 2r, never of r).  Paired
+    with ``reduce_final=False`` multiplies this keeps every Poseidon2 round
+    value < 3r with a single canonicalizing subtract at kernel output."""
+    s = _carry_norm([la[i] + lb[i] for i in range(NUM_LIMBS)])
+    # a, b < 2r < 2**254 so the sum < 4r fits in 16 limbs (carry-out zero).
+    return _cond_sub_2r(s[:NUM_LIMBS])
 
 
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:

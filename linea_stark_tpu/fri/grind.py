@@ -58,7 +58,10 @@ def grind(challenger, bits: int, batch: int = DEFAULT_BATCH) -> int:
     challenger's host loop otherwise (tests, tiny bit counts)."""
     if bits <= 0:
         return 0
-    if not use_pallas() or bits <= 12:
+    # Host fallback only for tiny searches (2^8 hashes is ~0.3 s of Python
+    # bigint sponge work; above that the device sweep wins even with its one
+    # dispatch per 2^21-candidate batch).
+    if not use_pallas() or bits <= 8:
         return challenger.grind(bits)
 
     params = challenger.params

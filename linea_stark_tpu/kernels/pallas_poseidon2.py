@@ -50,26 +50,32 @@ def _params_const_array(params: Poseidon2Params) -> np.ndarray:
 
 
 def _sbox11(l: list) -> list:
-    """x^11 = x^8 · x^3 — 3 squarings + 2 multiplies (alpha = 11)."""
-    x2 = fr.mul_limb_lists(l, l)
-    x3 = fr.mul_limb_lists(x2, l)
-    x4 = fr.mul_limb_lists(x2, x2)
-    x8 = fr.mul_limb_lists(x4, x4)
-    return fr.mul_limb_lists(x8, x3)
+    """x^11 = x^8 · x^3 — 3 squarings + 2 multiplies (alpha = 11).
+
+    All lazy (< 2r residues, no final conditional subtract): the input is
+    < 3r (state < 2r plus a canonical round constant), every product of
+    inputs < 3r is < 2r, so the chain is closed without reduction."""
+    x2 = fr.sqr_limb_lists(l, reduce_final=False)
+    x3 = fr.mul_limb_lists(x2, l, reduce_final=False)
+    x4 = fr.sqr_limb_lists(x2, reduce_final=False)
+    x8 = fr.sqr_limb_lists(x4, reduce_final=False)
+    return fr.mul_limb_lists(x8, x3, reduce_final=False)
 
 
 def _ext_linear(s):
-    t = fr.add_limb_lists(fr.add_limb_lists(s[0], s[1]), s[2])
-    return [fr.add_limb_lists(si, t) for si in s]
+    add = fr.add_limb_lists_lazy
+    t = add(add(s[0], s[1]), s[2])
+    return [add(si, t) for si in s]
 
 
 def _int_linear(s):
-    t = fr.add_limb_lists(fr.add_limb_lists(s[0], s[1]), s[2])
-    s2d = fr.add_limb_lists(s[2], s[2])
+    add = fr.add_limb_lists_lazy
+    t = add(add(s[0], s[1]), s[2])
+    s2d = add(s[2], s[2])
     return [
-        fr.add_limb_lists(s[0], t),
-        fr.add_limb_lists(s[1], t),
-        fr.add_limb_lists(s2d, t),
+        add(s[0], t),
+        add(s[1], t),
+        add(s2d, t),
     ]
 
 
@@ -95,16 +101,18 @@ def _rounds(state, const_ref, rounds_f: int, rounds_p: int, alpha: int):
         s = unpack(carry)
         out = []
         for k in range(3):
+            # state < 2r plus a canonical constant: < 3r, in range for the
+            # lazy S-box (no conditional subtract needed before it)
             with_c = [s[k][i] + const_ref[base + r, k, i] for i in range(NUM_LIMBS)]
             norm = fr._carry_norm(with_c)[:NUM_LIMBS]
-            out.append(_sbox11(fr._cond_sub_r(norm)))
+            out.append(_sbox11(norm))
         return pack(_ext_linear(out))
 
     def int_body(r, carry):
         s = unpack(carry)
         with_c = [s[0][i] + const_ref[rf2 + r, 0, i] for i in range(NUM_LIMBS)]
         norm = fr._carry_norm(with_c)[:NUM_LIMBS]
-        s[0] = _sbox11(fr._cond_sub_r(norm))
+        s[0] = _sbox11(norm)
         return pack(_int_linear(s))
 
     carry = pack(state)
@@ -113,7 +121,8 @@ def _rounds(state, const_ref, rounds_f: int, rounds_p: int, alpha: int):
     carry = jax.lax.fori_loop(
         0, rf2, lambda r, c: ext_body(r, c, rf2 + rounds_p), carry
     )
-    return unpack(carry)
+    # Lazy residues (< 2r) -> canonical: one conditional subtract per output.
+    return [fr._cond_sub_r(si) for si in unpack(carry)]
 
 
 def _permute_kernel(const_ref, s0_ref, s1_ref, s2_ref, o0_ref, o1_ref, o2_ref,

@@ -56,6 +56,22 @@ def reset() -> None:
     _state.roots = []
 
 
+def span_seconds(name: str) -> float | None:
+    """Elapsed seconds of the first collected span with this name (depth-first
+    over the current forest), or None if absent."""
+
+    def find(spans):
+        for s in spans:
+            if s.name == name:
+                return s.elapsed
+            hit = find(s.children)
+            if hit is not None:
+                return hit
+        return None
+
+    return find(_state.roots)
+
+
 def report(out=None) -> str:
     """Render the collected span forest, tracing-forest style."""
     lines = []
