@@ -18,9 +18,16 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The persistent compilation cache is deliberately NOT enabled here: under
+# the remote-TPU (axon) backend, executables deserialized from the cache can
+# hang forever at execution time (observed with the Pallas scan kernels —
+# a fresh compile of the same program runs fine).  Every bench run therefore
+# pays fresh compiles; the prover is engineered to keep that cost small
+# (few distinct kernel shapes, loop-rolled kernel bodies).
+if os.environ.get("BENCH_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", os.environ["BENCH_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_PROVE_S = 330.0  # README.md:11 (same workload, 24-core CPU)
 
@@ -77,14 +84,17 @@ def main() -> int:
     print(f"verify: {time.time() - t0:.2f}s (ok)", file=sys.stderr)
 
     if pow_bits > 0:
-        # The grind scans candidates 0..w sequentially, so the witness value
-        # is the number of Poseidon2 permutations searched.
         grind_s = timing.span_seconds("grind PoW")
         if grind_s:
-            perms = proof.fri.pow_witness + 1
+            # The device grind evaluates whole candidate batches, so the work
+            # actually performed is the witness's batch count rounded up.
+            from linea_stark_tpu.fri.grind import DEFAULT_BATCH
+
+            batches = proof.fri.pow_witness // DEFAULT_BATCH + 1
+            perms = batches * DEFAULT_BATCH
             print(
                 f"PoW grind: {pow_bits} bits, witness {proof.fri.pow_witness}, "
-                f"{perms / grind_s / 1e6:.2f}M perms/s "
+                f"{perms / grind_s / 1e6:.2f}M perms/s device throughput "
                 f"(reference CPU 0.22M perms/s)",
                 file=sys.stderr,
             )

@@ -507,7 +507,9 @@ def from_mont(a: jax.Array) -> jax.Array:
 # Prefix scans / batch inversion (compile-lean single-scan formulations)
 # ---------------------------------------------------------------------------
 
-def prefix_scan(x: jax.Array, op: str = "mul", reverse: bool = False) -> jax.Array:
+def prefix_scan(
+    x: jax.Array, op: str = "mul", reverse: bool = False, combine=None
+) -> jax.Array:
     """Inclusive prefix (suffix with ``reverse``) product/sum along the last
     axis, as ONE ``lax.scan`` over Hillis-Steele doubling offsets.
 
@@ -515,11 +517,14 @@ def prefix_scan(x: jax.Array, op: str = "mul", reverse: bool = False) -> jax.Arr
     doubling step shares one compiled body with a single field multiply (the
     unrolled form emits log2(N) separate multiply graphs — XLA compile time,
     not arithmetic, is the binding constraint on the non-Pallas path).
+    ``combine`` overrides the combine op (e.g. a Pallas kernel when tracing
+    the scan into a larger jitted phase on TPU).
     """
     n = x.shape[-1]
     if n <= 1:
         return x
-    combine = mul if op == "mul" else add
+    if combine is None:
+        combine = mul if op == "mul" else add
     steps = (n - 1).bit_length()
     ks = jnp.asarray([1 << t for t in range(steps)], dtype=jnp.int32)
     i = jnp.arange(n, dtype=jnp.int32)

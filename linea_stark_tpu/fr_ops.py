@@ -167,18 +167,51 @@ def _shift_fill(x: jax.Array, k: int, fill: jax.Array, reverse: bool) -> jax.Arr
 
 
 def _scan_kernel_ok(x: jax.Array) -> bool:
+    # The single-dispatch Pallas scan kernel (sequential grid + VMEM scratch
+    # carry) is DISABLED by default on the remote-TPU backend: its execution
+    # wedges the axon runtime non-deterministically (observed across rounds —
+    # the round-2 driver bench hung forever at the first scan execution, and
+    # isolated reproductions hang in `pf.scan` while every other kernel
+    # completes).  The log-doubling sweep below uses only the known-good
+    # elementwise kernels.  Re-enable for experiments with LINEA_SCAN_KERNEL=1.
+    import os
+
+    if os.environ.get("LINEA_SCAN_KERNEL") != "1":
+        return False
     return use_pallas() and x.ndim == 2 and x.shape[-1] >= 1024
 
 
-def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
-    """Inclusive prefix (or suffix) product along the last axis.
+def _doubling_scan(x: jax.Array, op: str, reverse: bool) -> jax.Array:
+    """Hillis-Steele prefix scan as log2(N) full-width Pallas sweeps.
 
-    Pallas path: ONE kernel dispatch (in-block Hillis-Steele + sequential
-    cross-block carry in SMEM).  Fallback: log2(N) full-width multiplies."""
+    Each step combines the array with itself shifted by k (identity-filled);
+    shifts are XLA slice+concat layout ops, combines are the elementwise
+    kernels — no sequential grid, no scratch, nothing the remote runtime
+    chokes on.  ~2x the multiplies of a work-efficient scan, irrelevant next
+    to dispatch latency at prover scales."""
+    n = x.shape[-1]
+    combine = mul if op == "mul" else add
+    ident = fr.full(x.shape[1:-1] + (1,), 1 if op == "mul" else 0)
+    k = 1
+    while k < n:
+        x = combine(x, _shift_fill(x, k, ident, reverse))
+        k *= 2
+    return x
+
+
+def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
+    """Inclusive prefix (or suffix) product along the last axis."""
     if _scan_kernel_ok(x):
         from .kernels import pallas_field as pf
 
         return pf.scan(x, "mul", reverse)
+    if use_pallas():
+        if isinstance(x, jax.core.Tracer):
+            # Inside a jitted phase: one lax.scan over doubling offsets with
+            # a single Pallas multiply in the body — one compiled body, no
+            # per-step program.
+            return fr.prefix_scan(x, "mul", reverse, combine=mul)
+        return _doubling_scan(x, "mul", reverse)
     return fr.prefix_scan(x, "mul", reverse)
 
 
@@ -188,6 +221,10 @@ def prefix_sum(x: jax.Array, reverse: bool = False) -> jax.Array:
         from .kernels import pallas_field as pf
 
         return pf.scan(x, "add", reverse)
+    if use_pallas():
+        if isinstance(x, jax.core.Tracer):
+            return fr.prefix_scan(x, "add", reverse, combine=add)
+        return _doubling_scan(x, "add", reverse)
     return fr.prefix_scan(x, "add", reverse)
 
 
@@ -218,9 +255,23 @@ def batch_inverse(x: jax.Array) -> jax.Array:
     prefix·suffix exclusive products plus one host-side Fermat inversion of
     the total (a single scalar round-trip — the transcript already syncs
     host and device between phases).  Inside a jit trace (no host access)
-    falls back to the scan-based implementation."""
+    the total is inverted in-graph by Fermat instead (one 253-bit pow scan
+    on a single scalar — negligible next to the O(N) sweeps)."""
     if isinstance(x, jax.core.Tracer):
-        return fr.batch_inverse(x, axis=-1)
+        if not use_pallas():
+            return fr.batch_inverse(x, axis=-1)
+        n = x.shape[-1]
+        pre = prefix_product(x)
+        suf = prefix_product(x, reverse=True)
+        one = fr.ones(()).reshape((NUM_LIMBS,) + (1,) * (x.ndim - 1))
+        pre_exc = _shift_fill(pre, 1, one, reverse=False)
+        suf_exc = _shift_fill(suf, 1, one, reverse=True)
+        total = pre[..., -1:]
+        total_inv = fr.inv(total)  # (16, *batch, 1): one Fermat pow per lane
+        prod = mul(pre_exc, suf_exc)
+        if x.ndim == 2:
+            return mul_scalar_arr(prod, total_inv[:, 0])
+        return mul(prod, jnp.broadcast_to(total_inv, x.shape))
     n = x.shape[-1]
     pre = prefix_product(x)
     suf = prefix_product(x, reverse=True)

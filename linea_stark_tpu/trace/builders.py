@@ -72,18 +72,26 @@ def radix_argsort(vals: jax.Array) -> jax.Array:
 # Permutation gadget (trace/src/permutation.rs:24-93)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _perm_cols(a: jax.Array, b: jax.Array, alpha: jax.Array, delta: jax.Array):
+    """Whole permutation-column build as ONE compiled program (the eager
+    op-by-op form paid one remote-dispatch round trip per op — ~80 of them —
+    and one compile-RPC per distinct op/shape)."""
+    a_comb = horner_columns(a, alpha)
+    b_comb = horner_columns(b, alpha)
+    b_inv = fo.batch_inverse(fo.add(b_comb, delta))
+    ratio = fo.mul(fo.add(a_comb, delta), b_inv)
+    check = fo.prefix_product(ratio)
+    return jnp.concatenate([a, b, b_inv[:, None], check[:, None]], axis=1)
+
+
 def build_permutation_columns(a: jax.Array, b: jax.Array, alpha: jax.Array, delta: jax.Array):
     """a, b: (16, W, N) column matrices.  Returns (16, 2W+2, N) trace columns
     [a..., b..., b_inverse, check] and the (unshifted) PermutationAirConfig.
     """
     w = a.shape[1]
     assert b.shape[1] == w
-    a_comb = horner_columns(a, alpha)
-    b_comb = horner_columns(b, alpha)
-    b_inv = fo.batch_inverse(fo.add(b_comb, delta))
-    ratio = fo.mul(fo.add(a_comb, delta), b_inv)
-    check = fo.prefix_product(ratio)
-    cols = jnp.concatenate([a, b, b_inv[:, None], check[:, None]], axis=1)
+    cols = _perm_cols(a, b, alpha, delta)
     cfg = PermutationAirConfig(
         a_columns_ids=tuple(range(w)),
         b_columns_ids=tuple(range(w, 2 * w)),
@@ -144,22 +152,19 @@ def lookup_multiplicities(
     return out_all[n:]
 
 
-def build_lookup_columns(
+@jax.jit
+def _lookup_cols(
     a: jax.Array,
-    b_tables: list,
+    b_tables: tuple,
     a_filter: jax.Array,
-    b_filters: list,
+    b_filters: tuple,
     alpha: jax.Array,
     delta: jax.Array,
 ):
-    """a: (16, Wa, N); b_tables: list of (16, Wb, N); a_filter: (16, N);
-    b_filters: list of (16, N).  Returns trace columns (16, width, N) in the
-    reference layout [a, b..., a_filter, b_filters, a_inv, b_invs, occs,
-    check] and the unshifted LookupAirConfig
-    (trace/src/lookup.rs:171-176,178-214)."""
+    """Whole lookup-column build (incl. the sort-join multiplicity pass) as
+    one compiled program; see :func:`_perm_cols` for why."""
     n = a.shape[-1]
     t = len(b_tables)
-    wa, wb = a.shape[1], b_tables[0].shape[1]
 
     a_comb = horner_columns(a, alpha)
     b_combs = [horner_columns(bt, alpha) for bt in b_tables]
@@ -194,7 +199,7 @@ def build_lookup_columns(
         term = fo.sub(term, fo.mul(fo.mul(b_filters[i], occ[i]), b_inv[:, i]))
     check = fo.prefix_sum(term)
 
-    cols = jnp.concatenate(
+    return jnp.concatenate(
         [a]
         + [bt for bt in b_tables]
         + [a_filter[:, None]]
@@ -204,6 +209,26 @@ def build_lookup_columns(
         + [o[:, None] for o in occ]
         + [check[:, None]],
         axis=1,
+    )
+
+
+def build_lookup_columns(
+    a: jax.Array,
+    b_tables: list,
+    a_filter: jax.Array,
+    b_filters: list,
+    alpha: jax.Array,
+    delta: jax.Array,
+):
+    """a: (16, Wa, N); b_tables: list of (16, Wb, N); a_filter: (16, N);
+    b_filters: list of (16, N).  Returns trace columns (16, width, N) in the
+    reference layout [a, b..., a_filter, b_filters, a_inv, b_invs, occs,
+    check] and the unshifted LookupAirConfig
+    (trace/src/lookup.rs:171-176,178-214)."""
+    t = len(b_tables)
+    wa, wb = a.shape[1], b_tables[0].shape[1]
+    cols = _lookup_cols(
+        a, tuple(b_tables), a_filter, tuple(b_filters), alpha, delta
     )
 
     a_ids = tuple(range(wa))

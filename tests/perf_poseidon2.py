@@ -12,9 +12,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from linea_stark_tpu.field import fr
-from linea_stark_tpu.field.constants import R_MOD
-from linea_stark_tpu.hash.poseidon2 import DEFAULT_PARAMS
 from linea_stark_tpu.kernels import pallas_poseidon2 as pk
 
 

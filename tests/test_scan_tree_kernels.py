@@ -123,7 +123,7 @@ def test_grind_device_path_matches_host(monkeypatch):
     from linea_stark_tpu.challenger import HashChallenger
     from linea_stark_tpu.fri.grind import grind
 
-    bits = 13  # > the host-fallback threshold of 12
+    bits = 13  # > the host-fallback threshold of 8 (grind.py)
 
     ch_host = HashChallenger()
     ch_host.observe(12345)
