@@ -33,15 +33,11 @@ class Poseidon2Hasher:
         if use_pallas():
             from ..kernels import pallas_poseidon2 as pk
 
-            if len(cols) == 2:
-                # pair hash == one absorb == the 2-to-1 compression kernel
-                return pk.compress(cols[0], cols[1], self.params)
-            return pk.leaf_hash(jnp.stack(cols, axis=1), self.params)
+            return pk.hash_columns_list(list(cols), self.params)
         return p2.hash_columns(cols, self.params)
 
     def hash_matrix(self, m):
-        """Row-hash of a whole (16, W, N) matrix — no per-column slicing /
-        restacking (those cost ~2 full copies of the matrix in HBM)."""
+        """Row-hash of a whole (16, W, N) matrix."""
         if use_pallas():
             from ..kernels import pallas_poseidon2 as pk
 
@@ -61,14 +57,14 @@ class Poseidon2Hasher:
     def compress_ints(self, a, b):
         return p2.compress_ints(a, b, self.params)
 
-    def tree_levels_br(self, d_br):
-        """All upper tree levels of a bit-reversed (16, N) digest layer in
-        one kernel dispatch, or None when unsupported (non-Pallas backends).
-        Outputs are bit-reversed too."""
+    def subtree_levels(self, d_br):
+        """All upper tree levels of a bit-reversed (16, SUBTREE_SIZE) digest
+        layer (chained fixed-shape kernel dispatches + tiny host top), or
+        None when unsupported (non-Pallas backends)."""
         if use_pallas():
             from ..kernels import pallas_poseidon2 as pk
 
-            return pk.tree_levels_br(d_br, self.params)
+            return pk.subtree_levels(d_br, self.params)
         return None
 
     @property

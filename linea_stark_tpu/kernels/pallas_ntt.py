@@ -176,12 +176,22 @@ def _stage4_axis2(
     return out.reshape(NUM_LIMBS, c, quarter, 4 * m, s)
 
 
+def _radix4() -> bool:
+    import os
+
+    return os.environ.get("LINEA_NTT_RADIX") == "4"
+
+
 def _transform_axis2(v: jax.Array, log_nt: int, table: jax.Array, n_table: int) -> jax.Array:
     """Full Stockham NTT of size 2^log_nt along axis -2 of (16, C, Nt, S).
 
     ``table`` is the master power table of a root whose order is ``n_table``
-    (>= 2^log_nt); stage twiddles are strided slices.  Stages run radix-4
-    (two levels per sweep) with one radix-2 step when the count is odd.
+    (>= 2^log_nt); stage twiddles are strided slices.  Default is radix-2
+    stages: each stage kernel's body holds ONE field multiply, compiling in
+    ~2-3s vs ~10s for the 4-multiply radix-4 body — and every stage shape is
+    a distinct Mosaic program, so a cold prove's NTT compile bill scales
+    with (stages × per-stage cost).  Radix-4 (half the HBM passes, ~2x
+    transform speed, ~2x compile) via LINEA_NTT_RADIX=4.
     """
     from ..ntt.ntt import _stage_twiddles
 
@@ -191,14 +201,17 @@ def _transform_axis2(v: jax.Array, log_nt: int, table: jax.Array, n_table: int) 
     v = v.reshape(NUM_LIMBS, c, nt, 1, s)
     m = 1
     remaining = log_nt
-    if remaining % 2:
+    radix4 = _radix4()
+    if remaining % 2 or not radix4:
         # The size-nt transform's root is ω_table^{n_table/nt}, so its stage
         # twiddle w_{2M}^j = ω_table^{(n_table/(2M))·j} — the table stride is
         # n_table/(2M) for *any* sub-transform size.
-        w = _stage_twiddles(table, n_table, 2 * m)
-        v = _stage_axis2(v, w)
-        m *= 2
-        remaining -= 1
+        steps = remaining if not radix4 else 1
+        for _ in range(steps):
+            w = _stage_twiddles(table, n_table, 2 * m)
+            v = _stage_axis2(v, w)
+            m *= 2
+            remaining -= 1
     while remaining > 0:
         w1 = _stage_twiddles(table, n_table, 2 * m)
         w2 = _stage_twiddles(table, n_table, 4 * m)  # (2m,)
@@ -245,6 +258,13 @@ def _four_step_twiddles(log_n: int, inverse: bool, n1: int, n2: int) -> jax.Arra
     return cur
 
 
+# Canonical batch count: smaller batches zero-pad up to this so all four-step
+# stage programs of a given N are shared across callers (the quotient-chunk
+# transforms at C=2 otherwise re-compile every stage shape — ~100s of Mosaic
+# time to save ~100ms of padded-transform work).
+_CANON_BATCH = 8
+
+
 def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     """Four-step Stockham NTT over the last axis of (16, *batch, N)
     (natural order in/out, unscaled).
@@ -264,6 +284,7 @@ def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     c = 1
     for sdim in batch:
         c *= sdim
+    c_pad = _CANON_BATCH if 1 < c < _CANON_BATCH else c
     log_n1 = log_n // 2
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
@@ -271,11 +292,17 @@ def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     table = _twiddle_table(log_n, inverse)  # master: root of order n
 
     v = x.reshape(NUM_LIMBS, c, n1, n2)
+    if c_pad != c:
+        v = jnp.concatenate(
+            [v, jnp.zeros((NUM_LIMBS, c_pad - c, n1, n2), v.dtype)], axis=1
+        )
     v = _transform_axis2(v, log_n1, table, n)
     t = _four_step_twiddles(log_n, inverse, n1, n2)
     v = _mul_broadcast(v, t)
     v = jnp.swapaxes(v, -1, -2)  # (16, C, N2, N1)
     v = _transform_axis2(v, log_n2, table, n)
+    if c_pad != c:
+        v = v[:, :c]
     return v.reshape(x.shape)
 
 

@@ -1,17 +1,32 @@
 """Pallas TPU kernels for the Poseidon2 Merkle sweeps.
 
 This is the prover's dominant cost (~75% of reference prove time,
-bench.log:19; SURVEY.md §7 hard part #2).  Three kernels:
+bench.log:19; SURVEY.md §7 hard part #2).  The design constraint on this
+module is **Mosaic compile time**, not arithmetic: every distinct program
+shape containing the 46-round permutation costs tens of seconds to compile
+on the remote-TPU backend (measured: a per-shape compress sweep ~25s, a
+15-level unrolled subtree kernel ~520s).  A cold prove must therefore touch
+only a handful of permutation-bearing programs:
 
-* ``permute``    — batched width-3 permutation, state resident in VMEM for
-  all 46 rounds (round loop is a ``fori_loop``; round constants ride in SMEM
-  so the kernel is constant-schedule-agnostic and compiles once).
-* ``leaf_hash``  — whole sponge absorb of a W-column block per grid step:
-  the state never round-trips to HBM between the ⌈W/2⌉ chunk permutations.
-* ``compress``   — 2-to-1 digest compression sweep for tree levels.
+* ``permute``  — batched width-3 permutation (3 states in, 3 out).  Used by
+  the sponge absorb chain and the PoW grind.
+* ``permute2`` — permutation of (l, r, 0) returning all three output words.
+  One program per padded size serves 2-to-1 tree compression, Merkle leaf
+  hashing of 2-wide matrices, FRI halves-leaf hashing, and the first absorb
+  chunk of wider leaf hashes (the zero third word is built in-kernel).
+* ``tree_step`` — ONE fixed-shape program that advances a bit-reversed
+  digest layer by one tree level for *any* level size: the pairing distance
+  rides in as an SMEM scalar and selects a dynamic sublane slice.  Eight
+  chained dispatches build every level from 2^15 down to 2^7 of every tree
+  in the prove — replacing both the per-shape halving sweeps and the
+  unrolled-subtree compile bomb.
 
-Lane layout: field batches (16, N) uint32, blocks (16, TILE) with per-limb
-lane vectors.
+All 253-bit arithmetic inside the round bodies is the lazy-residue CIOS of
+``field/fr.py``; the three external-round S-boxes are evaluated as ONE x^11
+chain over the lane-concatenated state (same vector work, a third of the
+emitted IR — Mosaic compile time scales with instruction count).
+
+Layout: field batches are (16, N) uint32; per-limb values are lane vectors.
 """
 
 from __future__ import annotations
@@ -31,6 +46,10 @@ from .pallas_field import _interpret
 
 U32 = jnp.uint32
 DEFAULT_TILE = 1024
+# Lane padding floor: one compiled permute2 program serves every call at or
+# below this size (garbage lanes hash to garbage digests that are sliced
+# away; the wasted work is microseconds).
+MIN_LANES = 1 << 15
 
 
 def _params_const_array(params: Poseidon2Params) -> np.ndarray:
@@ -80,14 +99,20 @@ def _int_linear(s):
 
 
 def _rounds(state, const_ref, rounds_f: int, rounds_p: int, alpha: int):
-    """Run the full permutation on `state` = 3 lists of 16 (T,) vectors.
+    """Run the full permutation on ``state`` = 3 lists of 16 equal-shape
+    vectors (1-D lane vectors or 2-D (sublane, lane) blocks).
 
     Round constants are scalar SMEM reads; the three phase loops are
     fori_loops so the compiled body is one external round + one internal
-    round regardless of the schedule length.
+    round regardless of the schedule length.  The external round's three
+    S-boxes run as a single x^11 chain over the concatenation of the three
+    state words along the leading axis — identical lane work, one third of
+    the instruction count (Mosaic compile time is the scarce resource).
     """
     assert alpha == 11, "kernel specializes the minimal x^11 chain"
     rf2 = rounds_f // 2
+    shape = jnp.shape(state[0][0])
+    cat_axis = 0  # leading axis: lanes for 1-D vectors, sublanes for blocks
 
     def pack(s):
         return tuple(tuple(x for x in si) for si in s)
@@ -95,17 +120,34 @@ def _rounds(state, const_ref, rounds_f: int, rounds_p: int, alpha: int):
     def unpack(t):
         return [list(si) for si in t]
 
+    def split3(v):
+        k = shape[0]
+        return [
+            [x[0 * k : 1 * k] for x in v],
+            [x[1 * k : 2 * k] for x in v],
+            [x[2 * k : 3 * k] for x in v],
+        ]
+
     state = _ext_linear(state)
 
     def ext_body(r, carry, base):
         s = unpack(carry)
-        out = []
-        for k in range(3):
+        cat = []
+        for i in range(NUM_LIMBS):
             # state < 2r plus a canonical constant: < 3r, in range for the
             # lazy S-box (no conditional subtract needed before it)
-            with_c = [s[k][i] + const_ref[base + r, k, i] for i in range(NUM_LIMBS)]
-            norm = fr._carry_norm(with_c)[:NUM_LIMBS]
-            out.append(_sbox11(norm))
+            cat.append(
+                jnp.concatenate(
+                    [
+                        s[0][i] + const_ref[base + r, 0, i],
+                        s[1][i] + const_ref[base + r, 1, i],
+                        s[2][i] + const_ref[base + r, 2, i],
+                    ],
+                    axis=cat_axis,
+                )
+            )
+        norm = fr._carry_norm(cat)[:NUM_LIMBS]
+        out = split3(_sbox11(norm))
         return pack(_ext_linear(out))
 
     def int_body(r, carry):
@@ -125,6 +167,10 @@ def _rounds(state, const_ref, rounds_f: int, rounds_p: int, alpha: int):
     return [fr._cond_sub_r(si) for si in unpack(carry)]
 
 
+# ---------------------------------------------------------------------------
+# permute: 3 states in, 3 out (sponge absorb carry, PoW grind)
+# ---------------------------------------------------------------------------
+
 def _permute_kernel(const_ref, s0_ref, s1_ref, s2_ref, o0_ref, o1_ref, o2_ref,
                     *, rounds_f, rounds_p, alpha):
     state = [
@@ -139,8 +185,22 @@ def _permute_kernel(const_ref, s0_ref, s1_ref, s2_ref, o0_ref, o1_ref, o2_ref,
         o2_ref[i] = out[2][i]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "tile"))
 def permute(s0, s1, s2, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFAULT_TILE):
+    """Batched width-3 permutation; pads small batches onto the shared
+    canonical program (see permute2)."""
+    n = s0.shape[-1]
+    n_pad = _canon(n)
+    o0, o1, o2 = _permute_call(
+        _pad_lanes(s0, n_pad), _pad_lanes(s1, n_pad), _pad_lanes(s2, n_pad),
+        params, tile,
+    )
+    if n_pad != n:
+        return o0[..., :n], o1[..., :n], o2[..., :n]
+    return o0, o1, o2
+
+
+@functools.partial(jax.jit, static_argnames=("params", "tile"))
+def _permute_call(s0, s1, s2, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFAULT_TILE):
     n = s0.shape[-1]
     t = min(tile, n)
     assert n % t == 0
@@ -164,138 +224,221 @@ def permute(s0, s1, s2, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DE
     )(consts, s0, s1, s2)
 
 
-def _leaf_kernel(const_ref, m_ref, o_ref, *, width, rounds_f, rounds_p, alpha):
-    t_shape = m_ref.shape[-1]
-    zero = jnp.zeros((t_shape,), U32)
-    s = [[zero] * NUM_LIMBS, [zero] * NUM_LIMBS, [zero] * NUM_LIMBS]
-    for c0 in range(0, width, RATE):
-        s[0] = [m_ref[i, c0] for i in range(NUM_LIMBS)]
-        if c0 + 1 < width:
-            s[1] = [m_ref[i, c0 + 1] for i in range(NUM_LIMBS)]
-        s = _rounds(s, const_ref, rounds_f, rounds_p, alpha)
-    for i in range(NUM_LIMBS):
-        o_ref[i] = s[0][i]
+# ---------------------------------------------------------------------------
+# permute2: (l, r, 0) -> 3 outputs (compression, leaf hashing, absorb start)
+# ---------------------------------------------------------------------------
 
-
-@functools.partial(jax.jit, static_argnames=("params", "tile"))
-def leaf_hash(matrix, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFAULT_TILE):
-    """Sponge-hash the W columns of (16, W, N) into (16, N) digests.
-
-    One kernel launch; each grid step absorbs a (16, W, TILE) block with the
-    running state held in registers across all ⌈W/2⌉ permutations.
-    """
-    w, n = matrix.shape[1], matrix.shape[-1]
-    t = min(tile, n)
-    assert n % t == 0
-    consts = jnp.asarray(_params_const_array(params))
-    kernel = functools.partial(
-        _leaf_kernel,
-        width=w,
-        rounds_f=params.rounds_f,
-        rounds_p=params.rounds_p,
-        alpha=params.alpha,
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n), matrix.dtype),
-        grid=(n // t,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((NUM_LIMBS, w, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((NUM_LIMBS, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(consts, matrix)
-
-
-def _tree_kernel(const_ref, d_ref, *o_refs, rounds_f, rounds_p, alpha):
-    """Build every level above a (16, N) digest layer in one dispatch.
-
-    Input and outputs are in BIT-REVERSED index order: the natural tree's
-    adjacent-pair compression (i, i^1) becomes first-half/second-half pairing
-    in bit-reversed order — contiguous static slices, which Mosaic lowers
-    cleanly (a (half, 2) deinterleave reshape does not).  The whole subtree
-    stays VMEM-resident — one launch replaces log2(N) halving sweeps, which
-    on a remote TPU were pure dispatch latency."""
-    cur = [d_ref[i] for i in range(NUM_LIMBS)]
-    n = d_ref.shape[-1]
-    for l in range(len(o_refs)):
-        half = n // 2
-        left = [c[:half] for c in cur]
-        right = [c[half:] for c in cur]
-        zero = jnp.zeros((half,), U32)
-        s = _rounds([left, right, [zero] * NUM_LIMBS], const_ref,
-                    rounds_f, rounds_p, alpha)
-        cur = s[0]
-        for i in range(NUM_LIMBS):
-            o_refs[l][i] = cur[i]
-        n = half
-
-
-@functools.partial(jax.jit, static_argnames=("params",))
-def tree_levels_br(d_br, params: Poseidon2Params = DEFAULT_PARAMS):
-    """Bit-reversed (16, N) digest layer -> tuple of bit-reversed upper
-    levels ((16, N/2) ... (16, 1)).  N <= 2^15 (VMEM residency)."""
-    n = d_br.shape[-1]
-    levels = n.bit_length() - 1
-    assert 1 << levels == n and n <= (1 << 15)
-    consts = jnp.asarray(_params_const_array(params))
-    kernel = functools.partial(
-        _tree_kernel,
-        rounds_f=params.rounds_f,
-        rounds_p=params.rounds_p,
-        alpha=params.alpha,
-    )
-    out_shapes = tuple(
-        jax.ShapeDtypeStruct((NUM_LIMBS, n >> (l + 1)), d_br.dtype)
-        for l in range(levels)
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)
-        ),
-        interpret=_interpret(),
-    )(consts, d_br)
-
-
-def _compress_kernel(const_ref, l_ref, r_ref, o_ref, *, rounds_f, rounds_p, alpha):
+def _permute2_kernel(const_ref, l_ref, r_ref, o0_ref, o1_ref, o2_ref,
+                     *, rounds_f, rounds_p, alpha):
     t_shape = l_ref.shape[-1]
     zero = jnp.zeros((t_shape,), U32)
-    s = [
+    state = [
         [l_ref[i] for i in range(NUM_LIMBS)],
         [r_ref[i] for i in range(NUM_LIMBS)],
         [zero] * NUM_LIMBS,
     ]
-    s = _rounds(s, const_ref, rounds_f, rounds_p, alpha)
+    out = _rounds(state, const_ref, rounds_f, rounds_p, alpha)
     for i in range(NUM_LIMBS):
-        o_ref[i] = s[0][i]
+        o0_ref[i] = out[0][i]
+        o1_ref[i] = out[1][i]
+        o2_ref[i] = out[2][i]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "tile"))
-def compress(left, right, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFAULT_TILE):
-    """2-to-1 compression sweep: (16, M) x2 -> (16, M)."""
+def _permute2_call(left, right, params: Poseidon2Params, tile: int):
     n = left.shape[-1]
     t = min(tile, n)
     assert n % t == 0
     consts = jnp.asarray(_params_const_array(params))
     spec = pl.BlockSpec((NUM_LIMBS, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _compress_kernel,
+        _permute2_kernel,
         rounds_f=params.rounds_f,
         rounds_p=params.rounds_p,
         alpha=params.alpha,
     )
+    shape = jax.ShapeDtypeStruct((NUM_LIMBS, n), left.dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n), left.dtype),
+        out_shape=(shape, shape, shape),
         grid=(n // t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
-        out_specs=spec,
+        out_specs=(spec, spec, spec),
         interpret=_interpret(),
     )(consts, left, right)
+
+
+def _pad_lanes(x: jax.Array, n_pad: int) -> jax.Array:
+    n = x.shape[-1]
+    if n == n_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (n_pad - n,), x.dtype)], axis=-1
+    )
+
+
+def _canon(n: int) -> int:
+    """Padded size: everything at/below MIN_LANES shares one program."""
+    return max(n, MIN_LANES) if not _interpret() else n
+
+
+def permute2(left, right, params: Poseidon2Params = DEFAULT_PARAMS,
+             tile: int = DEFAULT_TILE):
+    """Permutation of (left, right, 0); returns all three output words.
+
+    Inputs smaller than MIN_LANES are zero-padded so one compiled program
+    serves every small call site (tree sweeps, FRI leaves, tiny commits).
+    """
+    n = left.shape[-1]
+    n_pad = _canon(n)
+    o0, o1, o2 = _permute2_call(
+        _pad_lanes(left, n_pad), _pad_lanes(right, n_pad), params, tile
+    )
+    if n_pad != n:
+        return o0[..., :n], o1[..., :n], o2[..., :n]
+    return o0, o1, o2
+
+
+def compress(left, right, params: Poseidon2Params = DEFAULT_PARAMS,
+             tile: int = DEFAULT_TILE):
+    """2-to-1 digest compression sweep: (16, M) x2 -> (16, M)."""
+    return permute2(left, right, params, tile)[0]
+
+
+def leaf_hash(matrix, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFAULT_TILE):
+    """Sponge-hash the W columns of (16, W, N) into (16, N) digests.
+
+    Rate-2 overwrite absorb as a chain of permute dispatches: only the
+    capacity word (and, for an odd tail chunk, the second rate word)
+    carries between chunks, so every chunk is one already-compiled
+    ``permute``/``permute2`` call — no per-width kernel (a fused
+    absorb-in-VMEM kernel compiled ~100s per width; the chain's extra HBM
+    round trips cost ~2ms at the 2^22 commit).
+    """
+    return hash_columns_list([matrix[:, c] for c in range(matrix.shape[1])],
+                             params, tile)
+
+
+def hash_columns_list(cols, params: Poseidon2Params = DEFAULT_PARAMS,
+                      tile: int = DEFAULT_TILE):
+    w = len(cols)
+    assert w >= 1
+    if w == 1:
+        z = jnp.zeros_like(cols[0])
+        return permute2(cols[0], z, params, tile)[0]
+    s0, s1, s2 = permute2(cols[0], cols[1], params, tile)
+    i = RATE
+    while i + 1 < w:
+        s0, s1, s2 = permute(cols[i], cols[i + 1], s2, params, tile)
+        i += RATE
+    if i < w:  # odd tail chunk: second rate word keeps its previous value
+        s0, s1, s2 = permute(cols[i], s1, s2, params, tile)
+    return s0
+
+
+# ---------------------------------------------------------------------------
+# tree_step: one BR tree level for any size, one compiled program
+# ---------------------------------------------------------------------------
+
+_TREE_LANES = 128
+_TREE_ROWS = 256  # buffer entries = _TREE_ROWS * _TREE_LANES = 2^15
+SUBTREE_SIZE = _TREE_ROWS * _TREE_LANES
+_SUBTREE_HOST = 128  # finish below this on the host (vectorized bigint)
+
+
+_TREE_BLOCK_ROWS = 32  # output rows per grid step (bounds VMEM intermediates)
+
+
+def _tree_step_kernel(const_ref, h_ref, x_ref, o_ref, *, rounds_f, rounds_p,
+                      alpha, block_rows):
+    """O[j] = compress(X[j], X[j + h]) for flat row-major j < rows/2 · 128.
+
+    X is a (16, rows, 128) bit-reversed digest buffer whose first ``2h``
+    entries are the current level; ``h`` (= pairing distance, a multiple of
+    128) arrives as h/128 rows in SMEM, making the partner read a dynamic
+    sublane slice — the one shape-polymorphic axis Mosaic handles.  The
+    first ``h`` outputs are the next level (garbage beyond — positions that
+    pair valid-with-stale — is never read back as valid data).  The grid
+    walks output row-blocks so the 33-limb CIOS accumulators stay within
+    scoped VMEM; the input buffer rides whole (2 MB).
+    """
+    h_rows = h_ref[0]
+    base = pl.program_id(0) * block_rows
+    l0 = [x_ref[i, pl.ds(base, block_rows), :] for i in range(NUM_LIMBS)]
+    l1 = [x_ref[i, pl.ds(h_rows + base, block_rows), :] for i in range(NUM_LIMBS)]
+    zero = jnp.zeros((block_rows, _TREE_LANES), U32)
+    out = _rounds([l0, l1, [zero] * NUM_LIMBS], const_ref, rounds_f, rounds_p, alpha)
+    for i in range(NUM_LIMBS):
+        o_ref[i] = out[0][i]
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _tree_step(buf, h_rows, params: Poseidon2Params):
+    consts = jnp.asarray(_params_const_array(params))
+    rows, lanes = buf.shape[1], buf.shape[2]
+    block_rows = min(_TREE_BLOCK_ROWS, rows // 2)
+    kernel = functools.partial(
+        _tree_step_kernel,
+        rounds_f=params.rounds_f,
+        rounds_p=params.rounds_p,
+        alpha=params.alpha,
+        block_rows=block_rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, rows // 2, lanes), buf.dtype),
+        grid=(rows // 2 // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (NUM_LIMBS, rows, lanes), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_LIMBS, block_rows, lanes), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=_interpret(),
+    )(consts, h_rows, buf)
+
+
+def subtree_levels(d_br: jax.Array, params: Poseidon2Params = DEFAULT_PARAMS) -> list:
+    """All upper levels of a bit-reversed (16, N) digest layer (N a power of
+    two >= 256; the production call site uses N = SUBTREE_SIZE).
+
+    Returns [(16, N/2), (16, N/4), ..., (16, 1)] — each level in
+    bit-reversed index order.  Levels down to _SUBTREE_HOST come from chained
+    ``tree_step`` dispatches (one compiled program, h in SMEM); the tiny top
+    finishes host-side with the vectorized bigint sponge, costing one device
+    fetch — the caller's root observe needs that sync anyway.
+    """
+    n = d_br.shape[-1]
+    assert n % (2 * _TREE_LANES) == 0 and n & (n - 1) == 0
+    buf = d_br.reshape(NUM_LIMBS, n // _TREE_LANES, _TREE_LANES)
+    levels = []
+    h_rows = n // _TREE_LANES // 2
+    while h_rows * _TREE_LANES >= _SUBTREE_HOST:
+        out = _tree_step(buf, jnp.asarray([h_rows], dtype=jnp.int32), params)
+        levels.append(
+            out.reshape(NUM_LIMBS, n // 2)[:, : h_rows * _TREE_LANES]
+        )
+        buf = jnp.concatenate([out, out], axis=1)
+        h_rows //= 2
+
+    # host finish: _SUBTREE_HOST entries -> log2 more levels + root
+    from ..hash import np_poseidon2 as npp
+
+    top = levels[-1][:, :_SUBTREE_HOST]
+    vals = np.array(fr.unpack_ints(np.asarray(top)), dtype=object)
+    size = _SUBTREE_HOST
+    while size > 1:
+        # BR pairing: the natural pair (2s, 2s+1) sits at (j, j + size/2) in
+        # bit-reversed order, and compressing halves yields the next level
+        # already bit-reversed over one fewer bit.
+        half = size // 2
+        vals = npp.compress_vec(vals[:half], vals[half:], params)
+        size = half
+        levels.append(jnp.asarray(fr.pack_ints(list(vals))))
+    return levels

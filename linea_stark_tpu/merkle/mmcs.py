@@ -136,32 +136,10 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
     return MerkleTree(list(matrices), order, levels, h, br_start)
 
 
-def br_start_for(height: int, hasher) -> "int | None":
-    """Shape-only predictor of :func:`build_levels_single`'s ``br_start``
-    (needed when the levels are produced inside a jit, which can only return
-    arrays)."""
-    h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
-    if not use_pallas() or height <= 1 or not getattr(h, "has_subtree_kernel", False):
-        return None
-    size = height
-    n_sweeps = 0
-    while size > TREE_SWEEP_SIZE and size > 1:
-        size //= 2
-        n_sweeps += 1
-    return 1 + n_sweeps if size > 1 else None
-
-
-def build_levels_single(d: jax.Array, h, defer_subtree: bool = False) -> tuple:
-    """All digest levels above a (16, N) leaf layer (jit-safe: pure jnp /
-    Pallas ops).  Returns (levels, br_start) — levels[0] is the leaf layer.
-
-    ``defer_subtree=True`` (Pallas subtree-kernel path only): stop at the
-    VMEM-residency boundary and return (levels, d_br) with the padded
-    bit-reversed layer instead of calling the whole-subtree kernel — callers
-    that run under their own jit invoke ``h.tree_levels_br`` as a separate
-    standalone program so ONE compiled subtree kernel serves every caller
-    shape (inlining it per FRI-level shape was a compile bomb).
-    """
+def build_levels_single(d: jax.Array, h) -> tuple:
+    """All digest levels above a (16, N) leaf layer.  Returns
+    (levels, br_start) — levels[0] is the leaf layer; levels at index >=
+    ``br_start`` (when not None) are stored in bit-reversed order."""
     max_h = d.shape[-1]
     br_start = None
     if not use_pallas():
@@ -174,9 +152,10 @@ def build_levels_single(d: jax.Array, h, defer_subtree: bool = False) -> tuple:
             d = h.compress(d[..., 0::2], d[..., 1::2])
             levels.append(d)
         return levels, None
-    # Pallas: halving sweeps down to VMEM residency, then ONE whole-subtree
-    # kernel dispatch for every remaining level (log2(N) fewer launches —
-    # launch latency dominated the FRI commit phase on a remote TPU).
+    # Pallas: exact-size halving sweeps down to the fixed subtree buffer
+    # size, then the shape-polymorphic tree_step chain (ONE compiled
+    # program for every level of every tree — per-level shapes were the
+    # compile bomb, kernels/pallas_poseidon2.py).
     levels = [d]
     size = max_h
     while size > TREE_SWEEP_SIZE and size > 1:
@@ -184,12 +163,10 @@ def build_levels_single(d: jax.Array, h, defer_subtree: bool = False) -> tuple:
         d = h.compress(d[..., 0::2], d[..., 1::2])
         levels.append(d)
     ups = None
-    d_br = None
-    if size > 1:
-        # Pad to the fixed sweep size (one compiled kernel serves every
-        # tree; garbage lanes never feed any valid digest) and permute to
-        # bit-reversed order (adjacent-pair compression becomes
-        # half-vs-half — the layout the kernel needs).
+    if size > 1 and getattr(h, "has_subtree_kernel", False):
+        # Pad to the fixed subtree size (garbage lanes never feed any valid
+        # digest) and permute to bit-reversed order (adjacent-pair
+        # compression becomes half-vs-half — static slices).
         padded = d
         if size < TREE_SWEEP_SIZE:
             padded = jnp.concatenate(
@@ -197,10 +174,12 @@ def build_levels_single(d: jax.Array, h, defer_subtree: bool = False) -> tuple:
                 axis=-1,
             )
         d_br = jnp.take(padded, _bitrev_device(TREE_SWEEP_SIZE), axis=-1)
-        if defer_subtree and getattr(h, "has_subtree_kernel", False):
-            return levels, d_br
-        ups = getattr(h, "tree_levels_br", lambda _d: None)(d_br)
+        ups = h.subtree_levels(d_br)
     if size > 1 and ups is not None:
+        # Levels stay at the padded subtree widths: a natural index s maps to
+        # position rev(s) over log2(stored width) bits, which open_batch's
+        # sibling lookup applies uniformly (correct for padded trees too —
+        # the real root of a padded tree sits at position 0 of its level).
         br_start = len(levels)
         for l in range(1, size.bit_length()):
             levels.append(ups[l - 1])

@@ -380,12 +380,7 @@ def prove(
         f_host = None  # int-list codeword once the tail goes host-side
         cur_shift, cur_omega, size = shift, omega_lde, n_lde
         betas, fold_trees, fold_roots = [], [], []
-        from ..backend import use_pallas as _up
 
-        # Fused fold+leaf-hash+tree jit needs a jit-safe level builder; the
-        # Pallas Keccak path finishes tiny tree tops host-side, so it keeps
-        # the unfused loop.
-        fused_ok = not (_up() and not getattr(mh, "has_subtree_kernel", False))
         commit_span = span("commit phase (fold+commit per level)")
         commit_span.__enter__()
         while size > final_size:
@@ -394,35 +389,6 @@ def prove(
             if f_host is None and size <= 2 * _FRI_HOST_TAIL:
                 f_host = fr.unpack_ints(np.asarray(f))
             will_commit = size // 2 > final_size
-            if f_host is None and fused_ok and will_commit:
-                # ONE device dispatch: fold -> halves -> leaf hash -> every
-                # tree level (the per-level dispatch+root round trip is the
-                # only remaining latency).
-                inv2 = pow(2, R_MOD - 2, R_MOD)
-                inv_sh = pow(cur_shift, R_MOD - 2, R_MOD)
-                inv_om = pow(cur_omega, R_MOD - 2, R_MOD)
-                inv2x = fo.mul_const(
-                    fo.powers(inv_om, size // 2), (inv2 * inv_sh) % R_MOD
-                )
-                beta_l = jnp.asarray(fr.pack_ints([beta]))[:, 0]
-                f, halves, levels, tail = _fused_fold_commit(f, beta_l, inv2x, mh)
-                levels = list(levels)
-                br_start = mmcs.br_start_for(size // 4, mh)
-                if br_start is not None:
-                    # top levels via the shared standalone subtree program
-                    ups = mh.tree_levels_br(tail)
-                    rem = min(size // 4, mmcs.TREE_SWEEP_SIZE)
-                    for l in range(1, rem.bit_length()):
-                        levels.append(ups[l - 1])
-                t = mmcs.MerkleTree([halves], [0], levels, mh, br_start)
-                fold_trees.append(t)
-                root = t.root_int()
-                fold_roots.append(root)
-                challenger.observe(root)
-                cur_shift = (cur_shift * cur_shift) % R_MOD
-                cur_omega = (cur_omega * cur_omega) % R_MOD
-                size //= 2
-                continue
             if f_host is None:
                 f = fold_codeword(f, beta, cur_shift, cur_omega)
             else:
@@ -517,39 +483,12 @@ def prove(
     )
 
 
-import functools as _ft
-
-
-@_ft.partial(jax.jit, static_argnames=("mh",))
-def _fused_fold_commit(f, beta_l, inv2x, mh):
-    """One FRI level as ONE compiled program: fold (16, N) -> (16, N/2),
-    stack the halves matrix, leaf-hash it, and build the digest levels down
-    to the subtree-kernel boundary.  On the Pallas path the remaining top
-    levels come from the caller's standalone ``tree_levels_br`` call — ONE
-    compiled subtree program shared by every level/tree shape (inlining it
-    here recompiled it per FRI-level shape: a compile bomb).  The per-level
-    transcript round trip (observe root, sample next β) is the only
-    remaining host↔device latency of the commit phase."""
-    half = f.shape[-1] // 2
-    a, b = f[..., :half], f[..., half:]
-    inv2 = pow(2, R_MOD - 2, R_MOD)
-    s = fo.mul_const(fo.add(a, b), inv2)
-    d = fo.mul_scalar_arr(fo.mul(fo.sub(a, b), inv2x), beta_l)
-    f2 = fo.add(s, d)
-    q = half // 2
-    halves = jnp.stack([f2[:, :q], f2[:, q:]], axis=1)
-    leaf = mh.compress(f2[:, :q], f2[:, q:])
-    levels, tail = mmcs.build_levels_single(leaf, mh, defer_subtree=True)
-    if tail is None or isinstance(tail, int):  # XLA path: levels complete
-        return f2, halves, tuple(levels), leaf[..., :1]
-    return f2, halves, tuple(levels), tail  # tail = padded bit-reversed layer
-
-
 # FRI folds at/below this size run on the host as vectorized numpy-object
-# (bigint) arrays: every device tail level costs one tunnel round trip for
-# the root observe plus a per-shape kernel compile, while a whole host level
-# folds + commits in milliseconds (hash/np_poseidon2.py).
-_FRI_HOST_TAIL = 8192
+# (bigint) arrays.  The threshold is small: the vectorized host sponge runs
+# ~8k perms/s, so an 8192 tail cost ~1s of prove time — while device commits
+# of tiny levels are nearly free now that every small permutation pads onto
+# one compiled kernel (kernels/pallas_poseidon2.py MIN_LANES).
+_FRI_HOST_TAIL = 1024
 
 
 def _fold_host(f, beta: int, shift_int: int, omega_int: int):

@@ -70,17 +70,27 @@ def test_mul3_scalar():
         assert got[i] == a_v[i] * b_v[i] % R_MOD * c_v % R_MOD
 
 
-def test_tree_levels_br_matches_sweeps():
-    n = 64
+# Reduced-round parameter set: the subtree/tree-step tests check pairing,
+# bit-reversal, and host-finish STRUCTURE (the full 46-round permutation is
+# covered by test_poseidon2.py); interpret-mode execution of full rounds is
+# minutes per level on CPU.
+TINY_PARAMS = p2.Poseidon2Params(
+    rounds_f=2, rounds_p=1,
+    constants=tuple(p2.derive_round_constants(rounds_f=2, rounds_p=1)),
+)
+
+
+def test_subtree_levels_matches_sweeps():
+    n = 1024  # kernel path covers 512/256/128, host finish covers 64..1
     vals = rand_vals(n)
     d = jnp.asarray(fr.pack_ints(vals))
     br = mmcs._bitrev_table(n)
-    ups = pk.tree_levels_br(jnp.take(d, jnp.asarray(br), axis=-1))
+    ups = pk.subtree_levels(jnp.take(d, jnp.asarray(br), axis=-1), TINY_PARAMS)
     # natural-order reference: repeated adjacent-pair compress_ints
     level = list(vals)
     for l, u in enumerate(ups):
         level = [
-            p2.compress_ints(level[2 * i], level[2 * i + 1])
+            p2.compress_ints(level[2 * i], level[2 * i + 1], TINY_PARAMS)
             for i in range(len(level) // 2)
         ]
         w = u.shape[-1]
@@ -93,18 +103,21 @@ def test_tree_levels_br_matches_sweeps():
 def test_mmcs_pallas_br_path_matches_xla(monkeypatch):
     """Force the Pallas commit path (interpret mode) with a tiny subtree
     kernel threshold; root and openings must match the XLA path."""
+    from linea_stark_tpu.hash.hasher import Poseidon2Hasher
+
     h = 512
     w = 2
+    hasher = Poseidon2Hasher(TINY_PARAMS)
     vals = rand_vals(w * h)
     m = jnp.asarray(fr.pack_ints(vals)).reshape(16, w, h)
 
-    tree_xla = mmcs.commit([m])
+    tree_xla = mmcs.commit([m], hasher)
     root = tree_xla.root_int()
 
     monkeypatch.setenv("LINEA_TPU_BACKEND", "pallas")
-    monkeypatch.setattr(mmcs, "TREE_SWEEP_SIZE", 64)
+    monkeypatch.setattr(mmcs, "TREE_SWEEP_SIZE", 256)
     monkeypatch.setattr(mmcs, "HOST_TREE_THRESHOLD", 16)
-    tree_p = mmcs.commit([m])
+    tree_p = mmcs.commit([m], hasher)
     assert tree_p.br_start is not None
     assert tree_p.root_int() == root
 
@@ -114,7 +127,7 @@ def test_mmcs_pallas_br_path_matches_xla(monkeypatch):
     for op, ox in zip(ops_p, ops_x):
         assert op.rows == ox.rows
         assert op.siblings == ox.siblings
-        assert mmcs.verify_opening(root, [(h, w)], op)
+        assert mmcs.verify_opening(root, [(h, w)], op, hasher)
 
 
 def test_grind_device_path_matches_host(monkeypatch):
