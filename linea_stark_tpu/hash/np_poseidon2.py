@@ -19,6 +19,11 @@ import numpy as np
 
 from ..field.constants import R_MOD
 from . import poseidon2 as p2
+from . import native_engine as ne
+
+
+def _native() -> bool:
+    return ne.available()
 
 
 def _as_obj(vals) -> np.ndarray:
@@ -34,7 +39,19 @@ def _sbox11(x: np.ndarray) -> np.ndarray:
 
 
 def permute_vec(s0, s1, s2, params: p2.Poseidon2Params = p2.DEFAULT_PARAMS):
-    """Vectorized width-3 permutation of object arrays (canonical ints)."""
+    """Vectorized width-3 permutation of object arrays (canonical ints).
+
+    Delegates to the native C engine (hash/native_engine.py, ~25x the
+    object-array throughput) when it is available; the numpy path below is
+    the portable fallback and the differential-test oracle."""
+    if _native() and params.alpha == 11:
+        o0, o1, o2 = ne.permute(
+            ne.obj_to_u64(np.asarray(s0, dtype=object) % R_MOD),
+            ne.obj_to_u64(np.asarray(s1, dtype=object) % R_MOD),
+            ne.obj_to_u64(np.asarray(s2, dtype=object) % R_MOD),
+            params,
+        )
+        return [ne.u64_to_obj(o0), ne.u64_to_obj(o1), ne.u64_to_obj(o2)]
     assert params.alpha == 11, "host vector path specializes x^11"
     s = [s0 % R_MOD, s1 % R_MOD, s2 % R_MOD]
 
@@ -60,12 +77,24 @@ def permute_vec(s0, s1, s2, params: p2.Poseidon2Params = p2.DEFAULT_PARAMS):
 
 
 def compress_vec(a: np.ndarray, b: np.ndarray, params=p2.DEFAULT_PARAMS) -> np.ndarray:
+    if _native() and params.alpha == 11:
+        out = ne.compress(
+            ne.obj_to_u64(np.asarray(a, dtype=object) % R_MOD),
+            ne.obj_to_u64(np.asarray(b, dtype=object) % R_MOD),
+            params,
+        )
+        return ne.u64_to_obj(out)
     z = np.zeros(len(a), dtype=object)
     return permute_vec(a, b, z, params)[0]
 
 
 def hash_columns_vec(cols, params=p2.DEFAULT_PARAMS) -> np.ndarray:
     """Sponge row-hash of a list of object-array columns (rate 2, out 1)."""
+    if _native() and params.alpha == 11:
+        cu = np.stack(
+            [ne.obj_to_u64(np.asarray(c, dtype=object) % R_MOD) for c in cols]
+        )
+        return ne.u64_to_obj(ne.hash_columns(cu, params))
     n = len(cols[0])
     z = np.zeros(n, dtype=object)
     s0, s1, s2 = z, z, z
@@ -80,6 +109,10 @@ def hash_columns_vec(cols, params=p2.DEFAULT_PARAMS) -> np.ndarray:
 
 def batch_inverse_vec(x: np.ndarray) -> np.ndarray:
     """Montgomery-trick inversion of a nonzero object array mod r."""
+    if _native():
+        return ne.u64_to_obj(
+            ne.inv(ne.obj_to_u64(np.asarray(x, dtype=object) % R_MOD))
+        )
     # reduced running products (an unreduced accumulate would blow up to
     # len(x)·253-bit integers)
     pre = np.empty(len(x), dtype=object)
@@ -108,6 +141,13 @@ def powers_vec(base: int, count: int) -> np.ndarray:
 
 def fold_vec(f: np.ndarray, beta: int, shift: int, omega: int) -> np.ndarray:
     """One arity-2 FRI fold of an object-array codeword (natural order)."""
+    if _native():
+        return ne.u64_to_obj(
+            ne.fold(
+                ne.obj_to_u64(np.asarray(f, dtype=object) % R_MOD),
+                beta, shift, omega,
+            )
+        )
     half = len(f) // 2
     a, b = f[:half], f[half:]
     inv2 = pow(2, R_MOD - 2, R_MOD)
@@ -120,6 +160,13 @@ def fold_vec(f: np.ndarray, beta: int, shift: int, omega: int) -> np.ndarray:
 
 def tree_levels_vec(leaves: np.ndarray, params=p2.DEFAULT_PARAMS) -> list:
     """All digest levels above an object-array leaf layer."""
+    if _native() and params.alpha == 11 and len(leaves) > 1:
+        ups = ne.tree_levels(
+            ne.obj_to_u64(np.asarray(leaves, dtype=object) % R_MOD), params
+        )
+        return [np.asarray(leaves, dtype=object)] + [
+            ne.u64_to_obj(l) for l in ups
+        ]
     levels = [leaves]
     cur = leaves
     while len(cur) > 1:
