@@ -54,6 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report", action="store_true", help="print span timing tree")
     p.add_argument("--hasher", choices=["poseidon2", "keccak"], default="poseidon2",
                    help="MMCS hasher (the reference's compile-time alias sweep)")
+    p.add_argument("--transcript", choices=["native", "p3"], default="native",
+                   help="transcript/proof-shape mode: native order or upstream "
+                        "p3-uni-stark order (bit-reversed FRI, blowup-count "
+                        "quotient chunks — PARITY.md §3)")
+    p.add_argument("--quotient-chunks", type=int, default=None, metavar="C",
+                   help="override the quotient chunk count (power of two "
+                        "<= blowup; default: mode policy)")
+    p.add_argument("--p3-proof-out", metavar="FILE",
+                   help="also write the proof in the p3 serde/ciborium wire "
+                        "layout (requires --transcript p3)")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="row-shard the prove over an N-device mesh "
                         "(0 = single device; multi-host: see dist/launch.py)")
@@ -102,6 +112,8 @@ def main(argv=None) -> int:
         ),
         hash_params=hash_params,
         hasher=args.hasher,
+        transcript=args.transcript,
+        quotient_chunks=args.quotient_chunks,
     )
 
     timing.reset()
@@ -137,6 +149,14 @@ def main(argv=None) -> int:
         with open(args.proof_out, "wb") as f:
             f.write(data)
         print(f"Proof written: {args.proof_out} ({len(data)} bytes)")
+
+    if args.p3_proof_out:
+        from .prover.p3_codec import proof_to_p3_cbor
+
+        data = proof_to_p3_cbor(proof)
+        with open(args.p3_proof_out, "wb") as f:
+            f.write(data)
+        print(f"p3-layout proof written: {args.p3_proof_out} ({len(data)} bytes)")
 
     if not args.no_verify:
         print("Verification...")

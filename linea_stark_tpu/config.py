@@ -41,6 +41,16 @@ class StarkConfig:
     # Enforce trace self-checks during build (reference asserts,
     # trace/src/permutation.rs:76-79, trace/src/lookup.rs:165-168).
     check_trace: bool = True
+    # Transcript/proof-shape mode: "native" (this framework's order) or
+    # "p3" (upstream p3-uni-stark/p3-fri order: bit-reversed FRI indexing,
+    # commit-then-sample fold levels, blowup-count quotient chunks —
+    # PARITY.md §3; exact byte equality with the fork additionally needs
+    # captured Poseidon2 constants via ``hash_params``).
+    transcript: str = "native"
+    # Quotient chunk count: None = mode default (degree-aware for "native",
+    # 2^log_blowup for "p3" — the reference commits 8 chunks,
+    # bench.log:22-30); or an explicit power of two <= blowup.
+    quotient_chunks: int = None
 
     def mmcs_hasher(self):
         from .hash.hasher import KeccakHasher, Poseidon2Hasher

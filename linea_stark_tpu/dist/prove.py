@@ -32,6 +32,7 @@ from ..merkle import mmcs
 from ..ntt.ntt import _powers_device, root_of_unity
 from ..prover import uni_stark as us
 from ..prover.proof import FriProof, Proof, QueryProof
+from ..utils import fetch_global
 from ..utils.timing import span
 from .mesh import ROWS_AXIS
 from .pipeline import sharded_coset_lde
@@ -95,6 +96,11 @@ def prove_sharded(
     mh = config.mmcs_hasher()
     if not isinstance(mh, Poseidon2Hasher):
         raise NotImplementedError("sharded prove supports the Poseidon2 MMCS")
+    if getattr(config, "transcript", "native") != "native":
+        raise NotImplementedError(
+            "sharded prove emits the native transcript (p3 mode is "
+            "single-host; PARITY.md §2.2)"
+        )
     params = mh.params
     if host_tail is None:
         host_tail = us._FRI_HOST_TAIL
@@ -181,7 +187,7 @@ def prove_sharded(
                 oracle.sub(pow(z, n_lde, R_MOD), s_n),
                 oracle.inv((n_lde * s_n) % R_MOD),
             )
-            return [oracle.mul(v, cst) for v in fr.unpack_ints(np.asarray(sum_arr))]
+            return [oracle.mul(v, cst) for v in fr.unpack_ints(fetch_global(sum_arr))]
 
         trace_at_zeta = finish(sums[0], zeta)
         trace_at_zeta_next = finish(sums[1], zeta_next)
@@ -231,7 +237,7 @@ def prove_sharded(
             beta = challenger.sample()
             betas.append(beta)
             if f_host is None and size <= 2 * host_tail:
-                f_host = fr.unpack_ints(np.asarray(f))
+                f_host = fr.unpack_ints(fetch_global(f))
             if f_host is None:
                 cs, co = cur_shift, cur_omega
                 f = jax.jit(lambda x, b: sharded_fold(x, b, cs, co, mesh))(
@@ -262,7 +268,7 @@ def prove_sharded(
                 challenger.observe(root)
 
         if f_host is None:
-            f_host = fr.unpack_ints(np.asarray(f))
+            f_host = fr.unpack_ints(fetch_global(f))
         final_all = us._interpolate_host(f_host, cur_shift)
         n_final = 1 << fri_cfg.log_final_poly_len
         final_poly = final_all[:n_final]

@@ -15,6 +15,8 @@ lives on the opposite half of the mesh: one ``ppermute`` exchange per fold
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -23,21 +25,46 @@ from ..field import fr, oracle
 from ..field.constants import NUM_LIMBS, R_MOD
 
 
-def fold_codeword(f: jax.Array, beta_int: int, shift_int: int, omega_int: int) -> jax.Array:
-    """One fold of (16, N) evals on shift·<omega> -> (16, N/2) on shift²·<omega²>."""
+@functools.lru_cache(maxsize=64)
+def _inv2x_table(shift_int: int, omega_int: int, half: int):
+    """Device table 1/(2·shift·omega^i), i < half (numpy-backed so the cache
+    never leaks tracers)."""
+    import numpy as np
+
+    inv2 = pow(2, R_MOD - 2, R_MOD)
+    inv_shift = pow(shift_int, R_MOD - 2, R_MOD)
+    inv_omega = pow(omega_int, R_MOD - 2, R_MOD)
+    c = (inv2 * inv_shift) % R_MOD
+    vals = np.empty(half, dtype=object)
+    acc = c
+    for i in range(half):
+        vals[i] = acc
+        acc = acc * inv_omega % R_MOD
+    return jnp.asarray(fr.pack_ints(list(vals)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fold_jit(f: jax.Array, beta: jax.Array, inv2x: jax.Array) -> jax.Array:
     n = f.shape[-1]
     half = n // 2
     a = f[..., :half]
     b = f[..., half:]
     inv2 = pow(2, R_MOD - 2, R_MOD)
-    # 1/(2·x_i) = inv2·shift^{-1}·omega^{-i}
-    inv_shift = pow(shift_int, R_MOD - 2, R_MOD)
-    inv_omega = pow(omega_int, R_MOD - 2, R_MOD)
-    inv2x = fo.powers(inv_omega, half)
-    inv2x = fo.mul_const(inv2x, (inv2 * inv_shift) % R_MOD)
     s = fo.mul_const(fo.add(a, b), inv2)
     d = fo.mul(fo.sub(a, b), inv2x)
-    return fo.add(s, fo.mul_const(d, beta_int))
+    return fo.add(s, fo.mul(d, beta[:, None]))
+
+
+def fold_codeword(f: jax.Array, beta_int: int, shift_int: int, omega_int: int) -> jax.Array:
+    """One fold of (16, N) evals on shift·<omega> -> (16, N/2) on shift²·<omega²>.
+
+    One jitted dispatch per fold: the 1/(2x) table is host-cached per level
+    shape (the FRI ladder reuses the same (shift, omega, size) triples every
+    prove) and β rides in as a (16,) device scalar so no per-β retrace."""
+    n = f.shape[-1]
+    inv2x = _inv2x_table(shift_int, omega_int, n // 2)
+    beta = jnp.asarray(fr.pack_ints([beta_int]))[:, 0]
+    return _fold_jit(f, beta, inv2x)
 
 
 def fold_pair_int(lo: int, hi: int, x_lo: int, beta: int) -> int:

@@ -39,6 +39,7 @@ from ..field import fr
 from ..field.constants import NUM_LIMBS
 from ..hash import poseidon2 as p2
 from ..hash.hasher import make_hasher
+from ..utils import fetch_global
 
 HOST_TREE_THRESHOLD = 256
 # Digest-layer size at/below which the whole remaining subtree builds in one
@@ -82,13 +83,17 @@ class MerkleTree:
     levels: list            # levels[0] = (16, N_max) leaf digests, ... (16, 1)
     hasher: object
     br_start: int = None    # first bit-reversed level index, or None
+    # Leaf-index permutation: tree position i covers matrix row row_perm[i]
+    # (p3 transcript mode commits rows in bit-reversed order; the digest
+    # layer is permuted instead of the matrix, pcs/two_adic_fri.py).
+    row_perm: object = None  # np.ndarray or None
 
     @property
     def root(self) -> jax.Array:
         return self.levels[-1][:, 0]
 
     def root_int(self) -> int:
-        return fr.unpack_ints(np.asarray(self.levels[-1][..., :1]))[0]
+        return fr.unpack_ints(fetch_global(self.levels[-1][..., :1]))[0]
 
 
 def _matrix_columns(mat: jax.Array) -> list:
@@ -174,6 +179,11 @@ def build_levels_single(d: jax.Array, h) -> tuple:
                 axis=-1,
             )
         d_br = jnp.take(padded, _bitrev_device(TREE_SWEEP_SIZE), axis=-1)
+        # NOTE: subtree_levels finishes the tiny tree top host-side, which
+        # blocks on a device->host sync.  Acceptable here because every
+        # caller observes the root into the transcript immediately after —
+        # but a future fused/pipelined commit path must not call this under
+        # jit or expect it to be async (round-3 advisor).
         ups = h.subtree_levels(d_br)
     if size > 1 and ups is not None:
         # Levels stay at the padded subtree widths: a natural index s maps to
@@ -304,7 +314,10 @@ def open_batch(requests) -> list:
             shift = log_max - (h.bit_length() - 1)
             m_slots.append((len(mats), m.shape[1]))
             mats.append(m)
-            midx.append(jnp.asarray((idx_np >> shift).astype(np.int32)))
+            ridx = idx_np >> shift
+            if tree.row_perm is not None:
+                ridx = tree.row_perm[ridx]
+            midx.append(jnp.asarray(ridx.astype(np.int32)))
         s_slots = []
         cur = idx_np.copy()
         for lvl in range(log_max):
@@ -318,7 +331,7 @@ def open_batch(requests) -> list:
         meta.append((list(indices), m_slots, s_slots))
 
     rows_all, sibs_all = _gather_batch(tuple(mats), tuple(midx), tuple(lvls), tuple(lidx))
-    rows_np, sibs_np = np.asarray(rows_all), np.asarray(sibs_all)
+    rows_np, sibs_np = fetch_global(rows_all), fetch_global(sibs_all)
     rows_ints = fr.unpack_ints(rows_np) if rows_np.size else []
     sibs_ints = fr.unpack_ints(sibs_np) if sibs_np.size else []
 

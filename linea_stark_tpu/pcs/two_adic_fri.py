@@ -1,0 +1,848 @@
+"""Two-adic FRI PCS: commit / open / verify over coset LDEs.
+
+TPU-native equivalent of the fork's ``TwoAdicFriPcs`` (bin/src/main.rs:66;
+p3-fri + p3-merkle-tree + p3-dft, SURVEY.md §2b).  The heavy phases — LDE,
+Merkle sweeps, opening reduction, FRI folds — are whole-domain device
+computations; the challenger observe/sample points are the host↔device
+syncs.  FRI levels at/below a host-tail threshold fold and commit on the
+host CPU through the native C engine (hash/native_engine.py): one remote
+dispatch costs more wall time than an entire small level.
+
+Two transcript modes (see pcs/__init__.py): "native" keeps codewords in
+natural order and folds halves; "p3" mirrors upstream p3-fri's bit-reversed
+indexing.  The two agree on all device arithmetic — a natural-order
+half-pairing fold IS the bit-reversed adjacent-pair fold — so "p3" adds only
+a leaf-digest permutation at commit time and bit-reversed index bookkeeping
+at query time (PARITY.md §3 items 3-4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import fr_ops as fo
+from ..field import fr, oracle
+from ..field.constants import NUM_LIMBS, R_MOD
+from ..fri.fold import fold_codeword, fold_pair_int
+from ..hash import native_engine as ne
+from ..hash.hasher import Poseidon2Hasher
+from ..merkle import mmcs
+from ..merkle.mmcs import _bitrev_device, _bitrev_table
+from ..ntt import coset_lde, ntt
+from ..ntt.ntt import _coset_scale, _powers_device, pad_coeffs, root_of_unity
+from ..prover.proof import (
+    CommitPhaseStep,
+    FriProof,
+    P3QueryProof,
+    QueryProof,
+)
+from ..utils.timing import span
+
+
+class VerificationError(Exception):
+    pass
+
+
+# FRI folds at/below this size run on the host.  With the native C engine a
+# whole 2^15 tail (folds + Merkle commits) costs ~0.4 s of CPU — cheaper
+# than the dozens of remote-TPU dispatches + root syncs the same levels cost
+# on device.  Without it, the object-array sponge (~5k perms/s) caps the
+# affordable tail at 1024.
+_FRI_HOST_TAIL_NATIVE = 1 << 15
+_FRI_HOST_TAIL_OBJ = 1 << 10
+
+
+def default_host_tail() -> int:
+    return _FRI_HOST_TAIL_NATIVE if ne.available() else _FRI_HOST_TAIL_OBJ
+
+
+def _bitrev_int(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+@dataclass
+class PcsData:
+    """Prover-side state of one commitment round."""
+
+    tree: mmcs.MerkleTree
+    lde: jax.Array  # (16, W, n_lde) natural-order evals on shift·H_lde
+
+
+@dataclass
+class TwoAdicFriPcs:
+    fri: object                 # config.FriConfig
+    hasher: object              # hash.hasher instance
+    shift: int
+    transcript: str = "native"
+    check_low_degree: bool = True
+    host_tail: int = field(default_factory=default_host_tail)
+
+    def __post_init__(self):
+        # The big host tail is a native-Poseidon2 feature; other hashers
+        # (Keccak) fall back to scalar host compression — keep their tail
+        # small enough to stay off the critical path.
+        if not (ne.available() and isinstance(self.hasher, Poseidon2Hasher)):
+            self.host_tail = min(self.host_tail, _FRI_HOST_TAIL_OBJ)
+
+    # ------------------------------------------------------------------
+    # Commit
+    # ------------------------------------------------------------------
+
+    def commit_trace(self, trace: jax.Array):
+        """Evals on H_n -> (root_int, PcsData) committed on shift·H_lde.
+
+        The reference's ``pcs.commit(trace_domain, trace)``: coset LDE
+        (bench.log:20) + Merkle commit (bench.log:19)."""
+        with span("coset_lde_batch"):
+            lde = coset_lde(trace, self.fri.log_blowup, self.shift)
+        with span("merkle commit"):
+            tree = self._commit_matrix(lde)
+            root = tree.root_int()
+        return root, PcsData(tree, lde)
+
+    def commit_quotient(self, chunks: jax.Array):
+        """Chunk evals on their own cosets -> (root_int, PcsData).
+
+        chunks: (16, B, n), chunk i on coset shift·ω_lde^i·H_n.  All chunks
+        LDE in one batched transform (vs the reference's 8 sequential
+        coset_lde_batch calls of 1×n, bench.log:23-30), then one width-B
+        commit — leaf hashes are identical to B width-1 matrices of equal
+        height (columns concatenate in order)."""
+        n = chunks.shape[-1]
+        log_lde = (n.bit_length() - 1) + self.fri.log_blowup
+        omega_lde = root_of_unity(log_lde)
+        with span("coset_lde_batch", dims=f"{chunks.shape[1]}x{n}"):
+            stack = self._chunk_ldes_batched(chunks, omega_lde)
+        with span("merkle commit"):
+            tree = self._commit_matrix(stack)
+            root = tree.root_int()
+        return root, PcsData(tree, stack)
+
+    def _commit_matrix(self, mat: jax.Array) -> mmcs.MerkleTree:
+        if self.transcript == "p3":
+            return self._commit_single_br(mat)
+        return mmcs.commit([mat], self.hasher)
+
+    def _commit_single_br(self, mat: jax.Array) -> mmcs.MerkleTree:
+        """Single-matrix commit with rows indexed in BIT-REVERSED order
+        (p3-merkle-tree commits ``bit_reverse_rows`` of the LDE).  Leaf
+        digests are computed in natural row order (the same hash set), then
+        permuted — one (16, N) gather instead of permuting the whole
+        matrix."""
+        h = self.hasher
+        n = mat.shape[-1]
+        if hasattr(h, "hash_matrix"):
+            d = h.hash_matrix(mat)
+        else:
+            d = h.hash_columns([mat[:, c] for c in range(mat.shape[1])])
+        d_br = jnp.take(d, _bitrev_device(n), axis=-1) if n > 1 else d
+        levels, br_start = mmcs.build_levels_single(d_br, h)
+        return mmcs.MerkleTree(
+            [mat], [0], levels, h, br_start, row_perm=_bitrev_table(n)
+        )
+
+    def _chunk_ldes_batched(self, chunks: jax.Array, omega_lde: int) -> jax.Array:
+        """(16, B, n) chunk evals -> (16, B, n·blowup) on shift·H_big.
+
+        Per-chunk inverse-coset scale S[i, d] = shift^{-d}·ω^{-i·d} built by
+        block doubling, so the NTTs run with B as a plain batch axis."""
+        b, n = chunks.shape[1], chunks.shape[-1]
+        coeffs = ntt(chunks, inverse=True, scale=True)
+        inv_shift = pow(self.shift, R_MOD - 2, R_MOD)
+        inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
+        cur = _powers_device(inv_shift, n)[:, None, :]
+        size = 1
+        while size < b:
+            r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
+            cur = jnp.concatenate([cur, fo.mul(cur, r_k[:, None, :])], axis=1)
+            size *= 2
+        coeffs = fo.mul(coeffs, cur[:, :b])
+        padded = pad_coeffs(coeffs, self.fri.log_blowup)
+        big_n = n << self.fri.log_blowup
+        scale = _coset_scale(big_n, self.shift)
+        padded = fo.mul(padded, scale[:, None, :])
+        return ntt(padded)
+
+    # ------------------------------------------------------------------
+    # Opened values (barycentric)
+    # ------------------------------------------------------------------
+
+    def _barycentric_open(self, matrix_lde, z, denom_inv, x_vec) -> list:
+        """p(z) = (z^N − s^N)/(N·s^N) · Σ_j p(x_j)·x_j/(z−x_j) per column
+        ("compute opened values with Lagrange interpolation" +
+        "inverse denominators", bench.log:32-34)."""
+        n = matrix_lde.shape[-1]
+        s_n = pow(self.shift, n, R_MOD)
+        const = oracle.mul(
+            oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
+        )
+        u = fo.mul(x_vec, denom_inv)
+        vals = fo.weighted_sums_to_ints(matrix_lde, u)
+        return [oracle.mul(v, const) for v in vals]
+
+    # ------------------------------------------------------------------
+    # Open (opened values + FRI proof); owns the challenger during opening
+    # ------------------------------------------------------------------
+
+    def open(self, trace_data: PcsData, quot_data: PcsData, zeta: int,
+             zeta_next: int, challenger):
+        """Returns (trace_at_zeta, trace_at_zeta_next, chunks_at_zeta,
+        FriProof).  Transcript-mode differences:
+
+        * native — opened values observed, then α' sampled.
+        * p3     — α' sampled first (p3-fri's ``open`` samples the batching
+          challenge before computing reduced openings), nothing observed.
+        """
+        trace_lde, chunk_stack = trace_data.lde, quot_data.lde
+        n_lde = trace_lde.shape[-1]
+        log_lde = n_lde.bit_length() - 1
+        omega_lde = root_of_unity(log_lde)
+
+        with span("open"):
+            x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), self.shift)
+            with span("compute_inverse_denominators"):
+                zeta_v = fr.full((n_lde,), zeta)
+                zeta_next_v = fr.full((n_lde,), zeta_next)
+                di = fo.batch_inverse(
+                    jnp.stack(
+                        [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)],
+                        axis=1,
+                    ).reshape(NUM_LIMBS, 2 * n_lde)
+                ).reshape(NUM_LIMBS, 2, n_lde)
+                denom_inv_zeta, denom_inv_next = di[:, 0], di[:, 1]
+
+            with span("opened values (barycentric)"):
+                trace_at_zeta = self._barycentric_open(
+                    trace_lde, zeta, denom_inv_zeta, x_vec
+                )
+                trace_at_zeta_next = self._barycentric_open(
+                    trace_lde, zeta_next, denom_inv_next, x_vec
+                )
+                chunks_at_zeta = self._barycentric_open(
+                    chunk_stack, zeta, denom_inv_zeta, x_vec
+                )
+
+            if self.transcript == "p3":
+                alpha_p = challenger.sample()
+            else:
+                for v in trace_at_zeta:
+                    challenger.observe(v)
+                for v in trace_at_zeta_next:
+                    challenger.observe(v)
+                for v in chunks_at_zeta:
+                    challenger.observe(v)
+                alpha_p = challenger.sample()
+
+            # Reduced codeword f0 = Σ α'^k (col(x) − y)/(z − x), k over
+            # [trace@ζ cols, trace@ζ·g cols, chunks@ζ].
+            with span("reduce matrix quotient"):
+                f0 = fr.zeros((n_lde,))
+                k = 1
+                for mat, ys, dinv in (
+                    (trace_lde, trace_at_zeta, denom_inv_zeta),
+                    (trace_lde, trace_at_zeta_next, denom_inv_next),
+                    (chunk_stack, chunks_at_zeta, denom_inv_zeta),
+                ):
+                    num = fr.zeros((n_lde,))
+                    for c in range(mat.shape[1]):
+                        col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
+                        num = fo.add(num, fo.mul_const(col, k))
+                        k = oracle.mul(k, alpha_p)
+                    f0 = fo.add(f0, fo.mul(num, dinv))
+
+        with span("FRI prover"):
+            if self.transcript == "p3":
+                fri_proof = self._fri_prove_p3(
+                    f0, trace_data.tree, quot_data.tree, challenger
+                )
+            else:
+                fri_proof = self._fri_prove_native(
+                    f0, trace_data.tree, quot_data.tree, challenger
+                )
+        return trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, fri_proof
+
+    # ------------------------------------------------------------------
+    # FRI commit phase — native transcript (fold, then commit the result)
+    # ------------------------------------------------------------------
+
+    def _fri_prove_native(self, f0, trace_tree, quotient_tree, challenger):
+        fri_cfg = self.fri
+        n_lde = f0.shape[-1]
+        log_lde = n_lde.bit_length() - 1
+        final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
+        f = f0
+        f_host = None  # _HostTail state once the tail goes host-side
+        cur_shift, cur_omega, size = self.shift, root_of_unity(log_lde), n_lde
+        betas, fold_trees, fold_roots = [], [], []
+        tail = _HostTail(self.hasher)
+
+        commit_span = span("commit phase (fold+commit per level)")
+        commit_span.__enter__()
+        while size > final_size:
+            beta = challenger.sample()
+            betas.append(beta)
+            if f_host is None and size <= 2 * self.host_tail:
+                f_host = tail.from_device(f)
+            will_commit = size // 2 > final_size
+            if f_host is None:
+                f = fold_codeword(f, beta, cur_shift, cur_omega)
+            else:
+                f_host = tail.fold(f_host, beta, cur_shift, cur_omega)
+            cur_shift = (cur_shift * cur_shift) % R_MOD
+            cur_omega = (cur_omega * cur_omega) % R_MOD
+            size //= 2
+            if will_commit:
+                if f_host is None:
+                    halves = jnp.stack(
+                        [f[:, : size // 2], f[:, size // 2 :]], axis=1
+                    )
+                    t = mmcs.commit([halves], self.hasher)
+                    root = t.root_int()
+                else:
+                    t, root = tail.commit_halves(f_host, bit_reverse=False)
+                fold_trees.append(t)
+                fold_roots.append(root)
+                challenger.observe(root)
+        commit_span.__exit__(None, None, None)
+
+        if f_host is None:
+            f_host = tail.from_device(f)
+        final_poly = self._final_poly(tail.to_ints(f_host), cur_shift)
+        for c in final_poly:
+            challenger.observe(c)
+
+        pow_witness = self._grind(challenger)
+
+        with span("query phase"):
+            half0 = n_lde // 2
+            indices = [
+                challenger.sample_bits(log_lde - 1)
+                for _ in range(fri_cfg.num_queries)
+            ]
+            query_proofs = []
+            # Every tree's row + auth-path gathers ride ONE device dispatch
+            # (the remote-TPU query phase was dispatch-latency-bound).
+            both = list(indices) + [i + half0 for i in indices]
+            requests = [(trace_tree, both), (quotient_tree, both)]
+            for t in fold_trees:
+                lv_half = t.matrices[0].shape[-1]
+                requests.append((t, [idx % lv_half for idx in indices]))
+            opened = mmcs.open_batch(requests)
+            nq = fri_cfg.num_queries
+            trace_pairs = (opened[0][:nq], opened[0][nq:])
+            quot_pairs = (opened[1][:nq], opened[1][nq:])
+            level_openings = opened[2:]
+            for qi in range(nq):
+                query_proofs.append(
+                    QueryProof(
+                        input_openings=[
+                            [trace_pairs[0][qi], trace_pairs[1][qi]],
+                            [quot_pairs[0][qi], quot_pairs[1][qi]],
+                        ],
+                        commit_openings=[lo[qi] for lo in level_openings],
+                    )
+                )
+
+        return FriProof(
+            commit_roots=fold_roots,
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+            query_proofs=query_proofs,
+        )
+
+    # ------------------------------------------------------------------
+    # FRI commit phase — p3 transcript (commit the CURRENT codeword, then
+    # observe, then sample β, then fold; every fold is committed)
+    # ------------------------------------------------------------------
+
+    def _fri_prove_p3(self, f0, trace_tree, quotient_tree, challenger):
+        fri_cfg = self.fri
+        n_lde = f0.shape[-1]
+        log_lde = n_lde.bit_length() - 1
+        final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
+        f = f0
+        f_host = None
+        cur_shift, cur_omega, size = self.shift, root_of_unity(log_lde), n_lde
+        betas, fold_trees, fold_roots = [], [], []
+        tail = _HostTail(self.hasher)
+
+        commit_span = span("commit phase (commit+fold per level)")
+        commit_span.__enter__()
+        while size > final_size:
+            if f_host is None and size <= self.host_tail:
+                f_host = tail.from_device(f)
+            # Commit the current codeword paired as BR-adjacent rows: the
+            # natural half-pairing (f[j], f[j+half]) IS the bit-reversed
+            # adjacent pair, so the leaves matrix is the halves stack and
+            # only the digest layer is permuted.
+            if f_host is None:
+                halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
+                t = self._commit_single_br(halves)
+                root = t.root_int()
+            else:
+                t, root = tail.commit_halves(f_host, bit_reverse=True)
+            fold_trees.append(t)
+            fold_roots.append(root)
+            challenger.observe(root)
+            beta = challenger.sample()
+            betas.append(beta)
+            if f_host is None:
+                f = fold_codeword(f, beta, cur_shift, cur_omega)
+            else:
+                f_host = tail.fold(f_host, beta, cur_shift, cur_omega)
+            cur_shift = (cur_shift * cur_shift) % R_MOD
+            cur_omega = (cur_omega * cur_omega) % R_MOD
+            size //= 2
+        commit_span.__exit__(None, None, None)
+
+        if f_host is None:
+            f_host = tail.from_device(f)
+        final_poly = self._final_poly(tail.to_ints(f_host), cur_shift)
+        for c in final_poly:
+            challenger.observe(c)
+
+        pow_witness = self._grind(challenger)
+
+        with span("query phase"):
+            # p3-fri samples log_max_height bits: the FULL codeword height.
+            indices = [
+                challenger.sample_bits(log_lde)
+                for _ in range(fri_cfg.num_queries)
+            ]
+            requests = [(trace_tree, indices), (quotient_tree, indices)]
+            for l, t in enumerate(fold_trees):
+                requests.append((t, [(q >> l) >> 1 for q in indices]))
+            opened = mmcs.open_batch(requests)
+            query_proofs = []
+            for qi, q in enumerate(indices):
+                steps = []
+                for l in range(len(fold_trees)):
+                    op = opened[2 + l][qi]
+                    q_l = q >> l
+                    # opened row = (F_br[2i], F_br[2i+1]); own value sits at
+                    # parity q_l & 1 — ship only the sibling (p3's
+                    # CommitPhaseProofStep { sibling_value, opening_proof }).
+                    steps.append(
+                        CommitPhaseStep(
+                            sibling_value=op.rows[0][(q_l & 1) ^ 1],
+                            path=list(op.siblings),
+                        )
+                    )
+                query_proofs.append(
+                    P3QueryProof(
+                        input_openings=[opened[0][qi], opened[1][qi]],
+                        commit_steps=steps,
+                    )
+                )
+
+        return FriProof(
+            commit_roots=fold_roots,
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+            query_proofs=query_proofs,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _final_poly(self, evals: list, shift_int: int) -> list:
+        """Coefficients of the final codeword's polynomial on shift·H (naive
+        O(m²) inverse DFT — m is tiny); asserts the low-degree tail."""
+        m = len(evals)
+        coeffs = _interpolate_host(evals, shift_int)
+        n_final = 1 << self.fri.log_final_poly_len
+        if self.check_low_degree:
+            assert all(
+                v == 0 for v in coeffs[n_final:]
+            ), "final codeword not low degree"
+        return coeffs[:n_final]
+
+    def _grind(self, challenger) -> int:
+        with span("grind PoW"):
+            from ..fri.grind import grind as grind_pow
+
+            bits = self.fri.proof_of_work_bits
+            if bits > 0:
+                return grind_pow(challenger, bits)
+            challenger.observe(0)
+            assert challenger.sample_bits(0) == 0
+            return 0
+
+    # ------------------------------------------------------------------
+    # Verify (host-side)
+    # ------------------------------------------------------------------
+
+    def verify(self, trace_root: int, quotient_root: int, dims,
+               opened_values, zeta: int, zeta_next: int, fri_proof: FriProof,
+               challenger) -> None:
+        """Replays the PCS slice of the transcript and checks every Merkle
+        opening + FRI fold walk.  ``dims`` = ((n_lde, w), (n_lde, n_chunks));
+        ``opened_values`` = (trace_at_zeta, trace_at_zeta_next,
+        chunks_at_zeta).  Raises VerificationError."""
+        if self.transcript == "p3":
+            return self._verify_p3(
+                trace_root, quotient_root, dims, opened_values, zeta,
+                zeta_next, fri_proof, challenger,
+            )
+        return self._verify_native(
+            trace_root, quotient_root, dims, opened_values, zeta, zeta_next,
+            fri_proof, challenger,
+        )
+
+    def _replay_tail(self, fri_proof, challenger) -> None:
+        """Common transcript tail: final poly observation + PoW check (the
+        β sampling interleave is mode-specific and handled by the caller)."""
+        if len(fri_proof.final_poly) != 1 << self.fri.log_final_poly_len:
+            raise VerificationError("bad final poly length")
+        for c in fri_proof.final_poly:
+            challenger.observe(c)
+        if not challenger.check_witness(
+            self.fri.proof_of_work_bits, fri_proof.pow_witness
+        ):
+            raise VerificationError("proof-of-work check failed")
+
+    def _verify_native(self, trace_root, quotient_root, dims, opened_values,
+                       zeta, zeta_next, fri_proof, challenger) -> None:
+        fri_cfg = self.fri
+        (n_lde, w), (_, n_chunks) = dims
+        log_lde = n_lde.bit_length() - 1
+        omega_lde = root_of_unity(log_lde)
+        trace_at_zeta, trace_at_zeta_next, chunks_at_zeta = opened_values
+
+        for v in trace_at_zeta:
+            challenger.observe(v)
+        for v in trace_at_zeta_next:
+            challenger.observe(v)
+        for v in chunks_at_zeta:
+            challenger.observe(v)
+        alpha_p = challenger.sample()
+
+        num_levels = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
+        if len(fri_proof.commit_roots) != max(num_levels - 1, 0):
+            raise VerificationError("wrong number of FRI commitments")
+        betas = []
+        for li in range(num_levels):
+            betas.append(challenger.sample())
+            if li < num_levels - 1:
+                challenger.observe(fri_proof.commit_roots[li])
+        self._replay_tail(fri_proof, challenger)
+        indices = [
+            challenger.sample_bits(log_lde - 1)
+            for _ in range(fri_cfg.num_queries)
+        ]
+
+        # Merkle openings: one vectorized host sweep for every query
+        half0 = n_lde // 2
+        merkle_requests = []
+        for qi, idx in enumerate(indices):
+            qp = fri_proof.query_proofs[qi]
+            if len(qp.input_openings) != 2 or any(
+                len(pair) != 2 for pair in qp.input_openings
+            ):
+                raise VerificationError("malformed input openings")
+            (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
+            merkle_requests.append((trace_root, (n_lde, w), t_lo))
+            merkle_requests.append((trace_root, (n_lde, w), t_hi))
+            merkle_requests.append((quotient_root, (n_lde, n_chunks), q_lo))
+            merkle_requests.append((quotient_root, (n_lde, n_chunks), q_hi))
+            if len(qp.commit_openings) != max(num_levels - 1, 0):
+                raise VerificationError("malformed fold openings")
+            size_q = half0
+            for li in range(1, num_levels):
+                lv_half = size_q // 2
+                merkle_requests.append(
+                    (
+                        fri_proof.commit_roots[li - 1],
+                        (lv_half, 2),
+                        qp.commit_openings[li - 1],
+                    )
+                )
+                size_q = lv_half
+        if not mmcs.verify_openings_batch(merkle_requests, self.hasher):
+            raise VerificationError("Merkle opening failed")
+
+        for qi, idx in enumerate(indices):
+            qp = fri_proof.query_proofs[qi]
+            (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
+            for opening, want_idx in (
+                (t_lo, idx),
+                (t_hi, idx + half0),
+                (q_lo, idx),
+                (q_hi, idx + half0),
+            ):
+                if opening.index != want_idx:
+                    raise VerificationError("opening index mismatch")
+
+            x_lo = oracle.mul(self.shift, pow(omega_lde, idx, R_MOD))
+            f_lo = _reduced_at(
+                x_lo, t_lo.rows[0], q_lo.rows[0], zeta, zeta_next,
+                trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, alpha_p,
+            )
+            f_hi = _reduced_at(
+                oracle.neg(x_lo), t_hi.rows[0], q_hi.rows[0], zeta, zeta_next,
+                trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, alpha_p,
+            )
+
+            v = fold_pair_int(f_lo, f_hi, x_lo, betas[0])
+            pos = idx
+            cur_shift = (self.shift * self.shift) % R_MOD
+            cur_omega = (omega_lde * omega_lde) % R_MOD
+            size = half0
+            for li in range(1, num_levels):
+                lv_half = size // 2
+                p = pos % lv_half
+                op = qp.commit_openings[li - 1]
+                if op.index != p:
+                    raise VerificationError("fold opening index mismatch")
+                lo_v, hi_v = op.rows[0]
+                expect = lo_v if pos < lv_half else hi_v
+                if v != expect:
+                    raise VerificationError(
+                        f"fold consistency failed (query {qi}, level {li})"
+                    )
+                x_p = oracle.mul(cur_shift, pow(cur_omega, p, R_MOD))
+                v = fold_pair_int(lo_v, hi_v, x_p, betas[li])
+                pos = p
+                cur_shift = (cur_shift * cur_shift) % R_MOD
+                cur_omega = (cur_omega * cur_omega) % R_MOD
+                size = lv_half
+
+            x_fin = oracle.mul(cur_shift, pow(cur_omega, pos, R_MOD))
+            acc = 0
+            for c in reversed(fri_proof.final_poly):
+                acc = oracle.add(oracle.mul(acc, x_fin), c)
+            if v != acc:
+                raise VerificationError("final polynomial check failed")
+
+    def _verify_p3(self, trace_root, quotient_root, dims, opened_values,
+                   zeta, zeta_next, fri_proof, challenger) -> None:
+        fri_cfg = self.fri
+        (n_lde, w), (_, n_chunks) = dims
+        log_lde = n_lde.bit_length() - 1
+        omega_lde = root_of_unity(log_lde)
+        trace_at_zeta, trace_at_zeta_next, chunks_at_zeta = opened_values
+
+        alpha_p = challenger.sample()
+        num_levels = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
+        if len(fri_proof.commit_roots) != num_levels:
+            raise VerificationError("wrong number of FRI commitments")
+        betas = []
+        for li in range(num_levels):
+            challenger.observe(fri_proof.commit_roots[li])
+            betas.append(challenger.sample())
+        self._replay_tail(fri_proof, challenger)
+        indices = [
+            challenger.sample_bits(log_lde)
+            for _ in range(fri_cfg.num_queries)
+        ]
+
+        merkle_requests = []
+        for qi, q in enumerate(indices):
+            qp = fri_proof.query_proofs[qi]
+            if len(qp.input_openings) != 2:
+                raise VerificationError("malformed input openings")
+            t_op, q_op = qp.input_openings
+            for op in (t_op, q_op):
+                # p3's wire format does not carry indices (the verifier
+                # re-derives them from the challenger); -1 marks a decoded
+                # proof — stamp the derived index in.
+                if op.index == -1:
+                    op.index = q
+                elif op.index != q:
+                    raise VerificationError("opening index mismatch")
+            merkle_requests.append((trace_root, (n_lde, w), t_op))
+            merkle_requests.append((quotient_root, (n_lde, n_chunks), q_op))
+            if len(qp.commit_steps) != num_levels:
+                raise VerificationError("malformed fold openings")
+
+        # Fold walks: the committed row at level l is reconstructed from the
+        # carried value + the proof's sibling, so the Merkle check binds the
+        # walk (p3-fri's CommitPhaseProofStep semantics).
+        for qi, q in enumerate(indices):
+            qp = fri_proof.query_proofs[qi]
+            t_op, q_op = qp.input_openings
+            x = oracle.mul(
+                self.shift, pow(omega_lde, _bitrev_int(q, log_lde), R_MOD)
+            )
+            v = _reduced_at(
+                x, t_op.rows[0], q_op.rows[0], zeta, zeta_next,
+                trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, alpha_p,
+            )
+            cur_shift, cur_omega = self.shift, omega_lde
+            size = n_lde
+            pos = q
+            for li, step in enumerate(qp.commit_steps):
+                i = pos >> 1
+                parity = pos & 1
+                f_lo, f_hi = (v, step.sibling_value) if parity == 0 else (
+                    step.sibling_value, v,
+                )
+                merkle_requests.append(
+                    (
+                        fri_proof.commit_roots[li],
+                        (size // 2, 2),
+                        mmcs.BatchOpening(i, [[f_lo, f_hi]], list(step.path)),
+                    )
+                )
+                log_half = (size // 2).bit_length() - 1
+                j = _bitrev_int(i, log_half) if log_half else 0
+                x_lo = oracle.mul(cur_shift, pow(cur_omega, j, R_MOD))
+                v = fold_pair_int(f_lo, f_hi, x_lo, betas[li])
+                pos = i
+                cur_shift = (cur_shift * cur_shift) % R_MOD
+                cur_omega = (cur_omega * cur_omega) % R_MOD
+                size //= 2
+
+            log_m = size.bit_length() - 1
+            x_fin = oracle.mul(
+                cur_shift, pow(cur_omega, _bitrev_int(pos, log_m), R_MOD)
+            )
+            acc = 0
+            for c in reversed(fri_proof.final_poly):
+                acc = oracle.add(oracle.mul(acc, x_fin), c)
+            if v != acc:
+                raise VerificationError("final polynomial check failed")
+
+        if not mmcs.verify_openings_batch(merkle_requests, self.hasher):
+            raise VerificationError("Merkle opening failed")
+
+
+def _reduced_at(x, trace_row, quot_row, zeta, zeta_next, trace_at_zeta,
+                trace_at_zeta_next, chunks_at_zeta, alpha_p) -> int:
+    """Reduced-codeword value at point x from opened rows (the verifier-side
+    mirror of the prover's reduce-matrix-quotient)."""
+    acc = 0
+    k = 1
+    for rows, z, ys in (
+        (trace_row, zeta, trace_at_zeta),
+        (trace_row, zeta_next, trace_at_zeta_next),
+        (quot_row, zeta, chunks_at_zeta),
+    ):
+        num = 0
+        for c, rv in enumerate(rows):
+            num = oracle.add(num, oracle.mul(k, oracle.sub(rv, ys[c])))
+            k = oracle.mul(k, alpha_p)
+        acc = oracle.add(acc, oracle.mul(num, oracle.inv(oracle.sub(z, x))))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Host tail: fold + commit small FRI levels on the CPU
+# ---------------------------------------------------------------------------
+
+class _HostTail:
+    """Codeword state for the host-side FRI tail.
+
+    Uses the native C engine ((n, 4) u64 canonical rows) when available —
+    a whole 2^15 tail costs ~0.4 s — falling back to numpy object arrays.
+    """
+
+    def __init__(self, hasher):
+        self.hasher = hasher
+        self.native = ne.available() and isinstance(hasher, Poseidon2Hasher)
+
+    def from_device(self, f: jax.Array):
+        planes = np.asarray(f)
+        if self.native:
+            return ne.from_mont(ne.planes_to_u64(planes))
+        return np.array(fr.unpack_ints(planes), dtype=object)
+
+    def to_ints(self, state) -> list:
+        if self.native:
+            return ne.u64_to_ints(state)
+        return [int(v) for v in state]
+
+    def fold(self, state, beta: int, shift_int: int, omega_int: int):
+        if self.native:
+            return ne.fold(state, beta, shift_int, omega_int)
+        from ..hash import np_poseidon2 as npp
+
+        return npp.fold_vec(state, beta, shift_int, omega_int)
+
+    def commit_halves(self, state, bit_reverse: bool):
+        """Commit the halves pairing of the codeword; returns (tree, root).
+        Leaf digest j = compress(f[j], f[j+half]); p3 stores the digest
+        layer bit-reversed (with the matching row permutation)."""
+        n = len(state)
+        half = n // 2
+        params = getattr(self.hasher, "params", None)
+        if self.native:
+            lo, hi = state[:half], state[half:]
+            d = ne.compress(lo, hi, params)
+            halves_dev = jnp.asarray(
+                ne.u64_to_planes(ne.to_mont(np.concatenate([lo, hi])))
+            ).reshape(NUM_LIMBS, 2, half)
+            if bit_reverse and half > 1:
+                d = d[_bitrev_table(half)]
+            ups = [d] + (ne.tree_levels(d, params) if half > 1 else [])
+            levels = [
+                jnp.asarray(ne.u64_to_planes(ne.to_mont(l))) for l in ups
+            ]
+            root = ne.u64_to_ints(ups[-1][-1:])[0]
+        else:
+            from ..hash import np_poseidon2 as npp
+
+            lo, hi = state[:half], state[half:]
+            if isinstance(self.hasher, Poseidon2Hasher):
+                d = npp.compress_vec(lo, hi, params)
+            else:
+                d = np.array(
+                    [
+                        self.hasher.compress_ints(int(a), int(b))
+                        for a, b in zip(lo, hi)
+                    ],
+                    dtype=object,
+                )
+            halves_dev = jnp.asarray(
+                fr.pack_ints([int(v) for v in state])
+            ).reshape(NUM_LIMBS, 2, half)
+            if bit_reverse and half > 1:
+                d = d[_bitrev_table(half)]
+            if isinstance(self.hasher, Poseidon2Hasher):
+                lv = npp.tree_levels_vec(d, params)
+            else:
+                lv = [d]
+                cur = d
+                while len(cur) > 1:
+                    cur = np.array(
+                        [
+                            self.hasher.compress_ints(
+                                int(cur[2 * i]), int(cur[2 * i + 1])
+                            )
+                            for i in range(len(cur) // 2)
+                        ],
+                        dtype=object,
+                    )
+                    lv.append(cur)
+            levels = [
+                jnp.asarray(fr.pack_ints([int(v) for v in l])) for l in lv
+            ]
+            root = int(lv[-1][0])
+        tree = mmcs.MerkleTree(
+            [halves_dev], [0], levels, self.hasher, None,
+            row_perm=_bitrev_table(half) if bit_reverse else None,
+        )
+        return tree, root
+
+
+def _interpolate_host(evals: list, shift_int: int) -> list:
+    """Coefficients of the polynomial with these evals on shift·H (naive
+    O(m²) inverse DFT — m is the tiny final codeword)."""
+    m = len(evals)
+    w_inv = oracle.inv(pow(root_of_unity(m.bit_length() - 1), 1, R_MOD))
+    m_inv = oracle.inv(m)
+    s_inv = oracle.inv(shift_int % R_MOD)
+    coeffs = []
+    for d in range(m):
+        acc = 0
+        for j in range(m):
+            acc = oracle.add(acc, oracle.mul(evals[j], pow(w_inv, j * d, R_MOD)))
+        coeffs.append(oracle.mul(oracle.mul(acc, m_inv), pow(s_inv, d, R_MOD)))
+    return coeffs

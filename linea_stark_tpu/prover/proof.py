@@ -22,6 +22,25 @@ class QueryProof:
 
 
 @dataclass
+class CommitPhaseStep:
+    """p3-fri's ``CommitPhaseProofStep { sibling_value, opening_proof }``:
+    the fold partner at one commit-phase level plus its Merkle path (the
+    query's own value is recomputed by the verifier)."""
+
+    sibling_value: int
+    path: list                  # sibling digests bottom-up
+
+
+@dataclass
+class P3QueryProof:
+    """Query proof in p3 transcript mode: single-index input openings plus
+    one CommitPhaseStep per committed fold level."""
+
+    input_openings: list        # [BatchOpening per input tree]
+    commit_steps: list          # [CommitPhaseStep]
+
+
+@dataclass
 class FriProof:
     commit_roots: list          # int, one per committed fold level
     final_poly: list            # int coefficients (2^log_final_poly_len)
@@ -39,6 +58,7 @@ class Proof:
     trace_at_zeta_next: list    # int per trace column
     quotient_chunks_at_zeta: list  # int per chunk
     fri: FriProof
+    transcript: str = "native"  # "native" | "p3" (shape of query proofs)
 
     # -- serialization ------------------------------------------------------
 
@@ -46,7 +66,24 @@ class Proof:
         def enc_opening(o: BatchOpening):
             return [o.index, [[v for v in row] for row in o.rows], list(o.siblings)]
 
+        if self.transcript == "p3":
+            qps = [
+                [
+                    [enc_opening(o) for o in q.input_openings],
+                    [[s.sibling_value, list(s.path)] for s in q.commit_steps],
+                ]
+                for q in self.fri.query_proofs
+            ]
+        else:
+            qps = [
+                [
+                    [[enc_opening(o) for o in pair] for pair in q.input_openings],
+                    [enc_opening(o) for o in q.commit_openings],
+                ]
+                for q in self.fri.query_proofs
+            ]
         d = {
+            "transcript": self.transcript,
             "log_n": self.log_n,
             "width": self.width,
             "trace_root": self.trace_root,
@@ -58,13 +95,7 @@ class Proof:
                 "commit_roots": self.fri.commit_roots,
                 "final_poly": self.fri.final_poly,
                 "pow_witness": self.fri.pow_witness,
-                "query_proofs": [
-                    [
-                        [[enc_opening(o) for o in pair] for pair in q.input_openings],
-                        [enc_opening(o) for o in q.commit_openings],
-                    ]
-                    for q in self.fri.query_proofs
-                ],
+                "query_proofs": qps,
             },
         }
         return cbor.dumps(d)
@@ -77,6 +108,28 @@ class Proof:
             return BatchOpening(index=e[0], rows=e[1], siblings=e[2])
 
         fri = d["fri"]
+        transcript = d.get("transcript", "native")
+        if transcript == "p3":
+            qps = [
+                P3QueryProof(
+                    input_openings=[dec_opening(o) for o in q[0]],
+                    commit_steps=[
+                        CommitPhaseStep(sibling_value=s[0], path=s[1])
+                        for s in q[1]
+                    ],
+                )
+                for q in fri["query_proofs"]
+            ]
+        else:
+            qps = [
+                QueryProof(
+                    input_openings=[
+                        [dec_opening(o) for o in pair] for pair in q[0]
+                    ],
+                    commit_openings=[dec_opening(o) for o in q[1]],
+                )
+                for q in fri["query_proofs"]
+            ]
         return cls(
             log_n=d["log_n"],
             width=d["width"],
@@ -89,14 +142,7 @@ class Proof:
                 commit_roots=fri["commit_roots"],
                 final_poly=fri["final_poly"],
                 pow_witness=fri["pow_witness"],
-                query_proofs=[
-                    QueryProof(
-                        input_openings=[
-                            [dec_opening(o) for o in pair] for pair in q[0]
-                        ],
-                        commit_openings=[dec_opening(o) for o in q[1]],
-                    )
-                    for q in fri["query_proofs"]
-                ],
+                query_proofs=qps,
             ),
+            transcript=transcript,
         )

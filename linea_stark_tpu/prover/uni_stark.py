@@ -1,40 +1,47 @@
 """Uni-STARK prove/verify over the two-adic FRI PCS.
 
-TPU-native re-design of p3-uni-stark + p3-fri's ``TwoAdicFriPcs``
-(bin/src/main.rs:80-96; pipeline structure and cost profile in SURVEY.md
-§3.3).  The heavy phases — LDE, Merkle sweeps, quotient evaluation, opening
-reduction, FRI folds — are whole-domain device computations; the challenger
-observe/sample points between phases are the only host↔device syncs, exactly
-the device-boundary view of SURVEY.md §3.3.
+TPU-native re-design of p3-uni-stark (bin/src/main.rs:80-96; pipeline
+structure and cost profile in SURVEY.md §3.3).  All PCS mechanics (LDE,
+Merkle, opening reduction, FRI) live behind the ``pcs`` seam
+(pcs/two_adic_fri.py — the ``TwoAdicFriPcs`` analog of bin/src/config.rs:24);
+this module owns the transcript orchestration, the quotient computation, and
+the AIR-level verification.
 
-Transcript order (prover and verifier replay this exactly; the challenger is
-fresh per prove/verify as in bin/src/main.rs:78,88):
+Transcript orders (challenger fresh per prove/verify, bin/src/main.rs:78,88):
+
+``native`` (this framework's default):
 
     observe(log_n); observe(width); observe(trace_root)
     observe(alpha); observe(delta)                  # public values
     gamma   = sample()                              # constraint folding
     observe(quotient_root)
     zeta    = sample()                              # out-of-domain point
-    observe(trace@zeta ..W); observe(trace@zeta·g ..W); observe(chunks@zeta ..8)
+    observe(trace@zeta ..W); observe(trace@zeta·g ..W); observe(chunks@zeta)
     alpha_p = sample()                              # opening reduction
-    for each fold level l = 0..L-1:
-        beta_l = sample(); [commit folded level, observe root]   (last level:
-        no commit — its polynomial is sent directly)
-    observe(final_poly coefficients)
-    pow witness grind/check (proof_of_work_bits)
-    query indices = sample_bits(log_lde - 1) × num_queries
+    for each fold level: beta_l = sample(); [commit folded; observe root]
+    observe(final_poly coefficients); pow grind; query indices (log_lde-1 bits)
 
-Quotient decomposition: the quotient (degree < 2·n after selector division)
-is evaluated on the whole LDE domain and split by cosets: chunk i carries the
-values at indices ≡ i mod blowup — a polynomial of degree < n on coset
-c_i = shift·ω^i (reference: 8 chunks of 1×2^19, bench.log:22-30).  The
-verifier recomposes q(ζ) = Σ_i q_i(ζ)·Π_{j≠i}(ζ^n − c_j^n)/(c_i^n − c_j^n),
-using that x^n is constant on each coset.
+``p3`` (upstream p3-uni-stark order, PARITY.md §3):
+
+    observe(log_n); observe(trace_root)
+    observe(alpha); observe(delta)                  # observe_slice(publics)
+    gamma   = sample()
+    observe(quotient_root)
+    zeta    = sample()
+    alpha_p = sample()                              # sampled BEFORE openings
+    for each fold level: commit current codeword; observe root; beta_l = sample()
+    observe(final_poly); pow grind; query indices (log_lde bits, bit-reversed)
+
+Quotient decomposition: the quotient is evaluated on the first C cosets of
+the LDE domain; chunk i carries the values at indices ≡ i mod blowup — a
+polynomial of degree < n on coset c_i = shift·ω^i.  C is degree-aware in
+native mode (4× less committed data for the degree-3 gadgets) and
+2^log_blowup in p3 mode (the reference commits 8 chunks of 1×2^19,
+bench.log:22-30).  The verifier recomposes
+q(ζ) = Σ_i q_i(ζ)·Π_{j≠i}(ζ^n − c_j^n)/(c_i^n − c_j^n).
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -47,12 +54,15 @@ from ..challenger import HashChallenger
 from ..config import StarkConfig
 from ..field import fr, oracle
 from ..field.constants import NUM_LIMBS, R_MOD
-from ..fri.fold import fold_codeword, fold_pair_int
-from ..merkle import mmcs
-from ..ntt import coset_lde, evals_to_coeffs, ntt
 from ..ntt.ntt import _powers_device, root_of_unity
+from ..pcs import make_pcs
+from ..pcs.two_adic_fri import (  # noqa: F401  (re-exported for dist/debug)
+    VerificationError,
+    _interpolate_host,
+    default_host_tail,
+)
 from ..utils.timing import span
-from .proof import FriProof, Proof, QueryProof
+from .proof import Proof
 
 
 def _selector_factors(sel: Sel, zeta: int, n: int, z_h: int, omega_n: int) -> int:
@@ -67,33 +77,6 @@ def _selector_factors(sel: Sel, zeta: int, n: int, z_h: int, omega_n: int) -> in
     return oracle.sub(zeta, last)  # TRANSITION
 
 
-def _barycentric_open(
-    matrix_lde: jax.Array,
-    z: int,
-    shift: int,
-    denom_inv: jax.Array,
-    x_vec: jax.Array,
-) -> list:
-    """Evaluate every committed column at out-of-domain z from its LDE evals.
-
-    p(z) = (z^N − s^N)/(N·s^N) · Σ_j p(x_j)·x_j/(z−x_j)
-    (the "compute opened values with Lagrange interpolation" +
-    "inverse denominators" steps of the profile, bench.log:32-34).
-    Returns canonical ints per column.
-    """
-    n = matrix_lde.shape[-1]
-    s_n = pow(shift, n, R_MOD)
-    const = oracle.mul(
-        oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
-    )
-    u = fo.mul(x_vec, denom_inv)  # shared across columns
-    # One fused multiply+reduce dispatch for all columns (Pallas); the
-    # fallback streams column-at-a-time so no (16, W, N) product pair is
-    # ever materialized (~4 GB at the 14-wide 2^22 LDE).
-    vals = fo.weighted_sums_to_ints(matrix_lde, u)
-    return [oracle.mul(v, const) for v in vals]
-
-
 # ---------------------------------------------------------------------------
 # Quotient
 # ---------------------------------------------------------------------------
@@ -103,12 +86,24 @@ def num_quotient_chunks(air: LineaAir) -> int:
     < (max_deg−1)·n (numerator ≤ max_deg·(n−1)+1 minus the vanishing n), so
     ⌈(max_deg−1)⌉ rounded up to a power of two cosets determine it — the
     verifier infers the same count from the AIR (the reference's "infer log
-    of constraint degree", bench.log:70), vs committing blowup chunks."""
+    of constraint degree", bench.log:70)."""
     deg = max(air.max_constraint_degree, 2)
     c = 1
     while c < deg - 1:
         c *= 2
     return c
+
+
+def quotient_chunk_count(config: StarkConfig, air: LineaAir) -> int:
+    """Chunk-count policy: explicit override > mode default (degree-aware
+    for native, blowup for p3 — the reference's 8 chunks, bench.log:22-30)."""
+    if config.quotient_chunks is not None:
+        c = config.quotient_chunks
+        assert c & (c - 1) == 0 and c <= config.fri.blowup
+        return c
+    if config.transcript == "p3":
+        return config.fri.blowup
+    return num_quotient_chunks(air)
 
 
 def compute_quotient(
@@ -150,7 +145,6 @@ def compute_quotient(
     # (..., n, blowup) would make the tiny blowup axis minor and TPU tiling
     # pads minor dims to 128 lanes — an 8-64x padded transposed copy that
     # OOMs HBM at the 2^19 workload.
-    w = trace_lde.shape[1]
     sub = jnp.stack(
         [trace_lde[..., i::blowup] for i in range(c)], axis=2
     )  # (16, W, C, n)
@@ -221,42 +215,6 @@ def compute_quotient(
     return q
 
 
-def _chunk_ldes_batched(
-    chunks: jax.Array, log_blowup: int, shift: int, omega_lde: int
-) -> jax.Array:
-    """LDE all quotient chunks in one batched transform.
-
-    chunks: (16, B, n) — chunk i's evals on its own coset c_i = shift·ω^i.
-    Returns (16, B, n·2^log_blowup) evals on shift·H_big per chunk.  The
-    per-chunk inverse-coset scale is one (16, B, n) elementwise multiply with
-    S[i, d] = shift^{-d}·ω^{-i·d}, built by block doubling, so the NTTs run
-    with B as a plain batch axis (vs the reference's 8 sequential
-    coset_lde_batch calls of 1×n, bench.log:23-30).
-    """
-    from .. import fr_ops as fo
-    from ..ntt import ntt as ntt_fwd
-    from ..ntt.ntt import _coset_scale, pad_coeffs
-
-    b, n = chunks.shape[1], chunks.shape[-1]
-    coeffs = ntt(chunks, inverse=True, scale=True)
-    # S[i, d] = c_i^{-d}: rows double over i with R[d] = ω^{-d·K}.
-    inv_shift = pow(shift, R_MOD - 2, R_MOD)
-    inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
-    row0 = _powers_device(inv_shift, n)  # shift^{-d}
-    cur = row0[:, None, :]
-    size = 1
-    while size < b:
-        r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
-        cur = jnp.concatenate([cur, fo.mul(cur, r_k[:, None, :])], axis=1)
-        size *= 2
-    coeffs = fo.mul(coeffs, cur[:, :b])
-    padded = pad_coeffs(coeffs, log_blowup)
-    big_n = n << log_blowup
-    scale = _coset_scale(big_n, shift)
-    padded = fo.mul(padded, scale[:, None, :])
-    return ntt_fwd(padded)
-
-
 # ---------------------------------------------------------------------------
 # Prove
 # ---------------------------------------------------------------------------
@@ -270,201 +228,46 @@ def prove(
 ) -> Proof:
     """trace: (16, W, n) Montgomery limbs; public_values = [alpha, delta]."""
     alpha, delta = public_values
-    fri_cfg = config.fri
-    shift = config.coset_shift
-    hp = config.hash_params
-    mh = config.mmcs_hasher()
+    pcs = make_pcs(config)
+    p3 = config.transcript == "p3"
 
     w = trace.shape[1]
     n = trace.shape[-1]
     log_n = n.bit_length() - 1
-    log_lde = log_n + fri_cfg.log_blowup
-    n_lde = 1 << log_lde
-    omega_lde = root_of_unity(log_lde)
     omega_n = root_of_unity(log_n)
 
     # --- commit to trace data (bench.log:19) -------------------------------
-    with span("commit trace", dims=f"{w}x{n}", added_bits=fri_cfg.log_blowup):
-        with span("coset_lde_batch"):
-            trace_lde = coset_lde(trace, fri_cfg.log_blowup, shift)
-        with span("merkle commit"):
-            trace_tree = mmcs.commit([trace_lde], mh)
-            # root fetch = the phase's device sync; keep it inside the span
-            # so execution time is attributed, not just dispatch time
-            trace_root = trace_tree.root_int()
+    with span("commit trace", dims=f"{w}x{n}", added_bits=config.fri.log_blowup):
+        trace_root, trace_data = pcs.commit_trace(trace)
 
     challenger.observe(log_n)
-    challenger.observe(w)
+    if not p3:
+        challenger.observe(w)
     challenger.observe(trace_root)
     challenger.observe(alpha)
     challenger.observe(delta)
     gamma = challenger.sample()
 
     # --- quotient ----------------------------------------------------------
-    n_chunks = num_quotient_chunks(air)
+    n_chunks = quotient_chunk_count(config, air)
     with span("compute quotient polynomial", dims=f"{n_chunks}x{n}"):
-        # (16, C, n): chunk i = quotient values on coset shift·ω_lde^i·H_n
-        # (degree-aware C, not blowup — 4× less committed data for deg-3).
-        chunks = compute_quotient(trace_lde, air, alpha, delta, gamma, n, shift)
+        chunks = compute_quotient(
+            trace_data.lde, air, alpha, delta, gamma, n, config.coset_shift,
+            n_chunks=n_chunks,
+        )
 
     with span("commit quotient chunks"):
-        with span("coset_lde_batch", dims=f"{n_chunks}x{n}"):
-            chunk_stack = _chunk_ldes_batched(
-                chunks, fri_cfg.log_blowup, shift, omega_lde
-            )  # (16, C, n_lde)
+        quotient_root, quot_data = pcs.commit_quotient(chunks)
         del chunks
-        # One width-B matrix: leaf hashes are identical to B width-1 matrices
-        # of equal height (columns concatenate in order), and it avoids B
-        # full-height slice copies (2 GB at the 2^19 workload).
-        with span("merkle commit"):
-            quotient_tree = mmcs.commit([chunk_stack], mh)
-            quotient_root = quotient_tree.root_int()
 
     challenger.observe(quotient_root)
     zeta = challenger.sample()
     zeta_next = oracle.mul(zeta, omega_n)
 
-    # --- open (bench.log:31) ----------------------------------------------
-    with span("open"):
-        x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), shift)
-        with span("compute_inverse_denominators"):
-            zeta_v = fr.full((n_lde,), zeta)
-            zeta_next_v = fr.full((n_lde,), zeta_next)
-            di_stack = fo.batch_inverse(
-                jnp.stack(
-                    [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)], axis=1
-                ).reshape(NUM_LIMBS, 2 * n_lde)
-            ).reshape(NUM_LIMBS, 2, n_lde)
-            denom_inv_zeta, denom_inv_next = di_stack[:, 0], di_stack[:, 1]
-
-        with span("opened values (barycentric)"):
-            trace_at_zeta = _barycentric_open(
-                trace_lde, zeta, shift, denom_inv_zeta, x_vec
-            )
-            trace_at_zeta_next = _barycentric_open(
-                trace_lde, zeta_next, shift, denom_inv_next, x_vec
-            )
-            chunks_at_zeta = _barycentric_open(
-                chunk_stack, zeta, shift, denom_inv_zeta, x_vec
-            )
-
-        for v in trace_at_zeta:
-            challenger.observe(v)
-        for v in trace_at_zeta_next:
-            challenger.observe(v)
-        for v in chunks_at_zeta:
-            challenger.observe(v)
-        alpha_p = challenger.sample()
-
-        # Reduced codeword f0 = Σ α^k (col(x) − y)/(x − z), k over
-        # [trace@ζ cols, trace@ζg cols, chunks@ζ].
-        with span("reduce matrix quotient"):
-            f0 = fr.zeros((n_lde,))
-            k = 1
-            for mat, ys, dinv in (
-                (trace_lde, trace_at_zeta, denom_inv_zeta),
-                (trace_lde, trace_at_zeta_next, denom_inv_next),
-                (chunk_stack, chunks_at_zeta, denom_inv_zeta),
-            ):
-                num = fr.zeros((n_lde,))
-                for c in range(mat.shape[1]):
-                    col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
-                    num = fo.add(num, fo.mul_const(col, k))
-                    k = oracle.mul(k, alpha_p)
-                f0 = fo.add(f0, fo.mul(num, dinv))
-
-    # --- FRI commit phase (bench.log:63-64) --------------------------------
-    with span("FRI prover"):
-        final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
-        f = f0
-        f_host = None  # int-list codeword once the tail goes host-side
-        cur_shift, cur_omega, size = shift, omega_lde, n_lde
-        betas, fold_trees, fold_roots = [], [], []
-
-        commit_span = span("commit phase (fold+commit per level)")
-        commit_span.__enter__()
-        while size > final_size:
-            beta = challenger.sample()
-            betas.append(beta)
-            if f_host is None and size <= 2 * _FRI_HOST_TAIL:
-                f_host = fr.unpack_ints(np.asarray(f))
-            will_commit = size // 2 > final_size
-            if f_host is None:
-                f = fold_codeword(f, beta, cur_shift, cur_omega)
-            else:
-                f_host = _fold_host(f_host, beta, cur_shift, cur_omega)
-            cur_shift = (cur_shift * cur_shift) % R_MOD
-            cur_omega = (cur_omega * cur_omega) % R_MOD
-            size //= 2
-            if will_commit:
-                if f_host is None:
-                    halves = jnp.stack(
-                        [f[:, : size // 2], f[:, size // 2 :]], axis=1
-                    )
-                    t = mmcs.commit([halves], mh)
-                    root = t.root_int()
-                else:
-                    t, root = _host_tail_commit(f_host, mh)
-                fold_trees.append(t)
-                fold_roots.append(root)
-                challenger.observe(root)
-
-        commit_span.__exit__(None, None, None)
-        # Final polynomial: iNTT on its coset, degree < 2^log_final_poly_len.
-        if f_host is None:
-            f_host = fr.unpack_ints(np.asarray(f))
-        final_all = _interpolate_host(list(f_host), cur_shift)
-        n_final = 1 << fri_cfg.log_final_poly_len
-        final_poly = final_all[:n_final]
-        if config.check_trace:
-            assert all(
-                v == 0 for v in final_all[n_final:]
-            ), "final codeword not low degree"
-        for c in final_poly:
-            challenger.observe(c)
-
-        with span("grind PoW"):
-            from ..fri.grind import grind as grind_pow
-
-            pow_witness = (
-                grind_pow(challenger, fri_cfg.proof_of_work_bits)
-                if fri_cfg.proof_of_work_bits > 0
-                else 0
-            )
-            if fri_cfg.proof_of_work_bits == 0:
-                challenger.observe(pow_witness)
-                assert challenger.sample_bits(0) == 0
-
-        # --- query phase ---------------------------------------------------
-        with span("query phase"):
-            half0 = n_lde // 2
-            indices = [
-                challenger.sample_bits(log_lde - 1) for _ in range(fri_cfg.num_queries)
-            ]
-            query_proofs = []
-            # Every tree's row + auth-path gathers ride ONE device dispatch
-            # (the reference's query phase is 12.6 ms, bench.log:67 — ours
-            # was dispatch-latency-bound at one round trip per tree/level).
-            both = list(indices) + [i + half0 for i in indices]
-            requests = [(trace_tree, both), (quotient_tree, both)]
-            for t in fold_trees:
-                lv_half = t.matrices[0].shape[-1]  # height of halves matrix
-                requests.append((t, [idx % lv_half for idx in indices]))
-            opened = mmcs.open_batch(requests)
-            nq = fri_cfg.num_queries
-            trace_open_pairs = (opened[0][:nq], opened[0][nq:])
-            quot_open_pairs = (opened[1][:nq], opened[1][nq:])
-            level_openings = opened[2:]
-            for qi in range(fri_cfg.num_queries):
-                query_proofs.append(
-                    QueryProof(
-                        input_openings=[
-                            [trace_open_pairs[0][qi], trace_open_pairs[1][qi]],
-                            [quot_open_pairs[0][qi], quot_open_pairs[1][qi]],
-                        ],
-                        commit_openings=[lo[qi] for lo in level_openings],
-                    )
-                )
+    # --- open + FRI (bench.log:31,63) --------------------------------------
+    trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, fri_proof = pcs.open(
+        trace_data, quot_data, zeta, zeta_next, challenger
+    )
 
     return Proof(
         log_n=log_n,
@@ -474,73 +277,14 @@ def prove(
         trace_at_zeta=trace_at_zeta,
         trace_at_zeta_next=trace_at_zeta_next,
         quotient_chunks_at_zeta=chunks_at_zeta,
-        fri=FriProof(
-            commit_roots=fold_roots,
-            final_poly=final_poly,
-            pow_witness=pow_witness,
-            query_proofs=query_proofs,
-        ),
+        fri=fri_proof,
+        transcript=config.transcript,
     )
-
-
-# FRI folds at/below this size run on the host as vectorized numpy-object
-# (bigint) arrays.  The threshold is small: the vectorized host sponge runs
-# ~8k perms/s, so an 8192 tail cost ~1s of prove time — while device commits
-# of tiny levels are nearly free now that every small permutation pads onto
-# one compiled kernel (kernels/pallas_poseidon2.py MIN_LANES).
-_FRI_HOST_TAIL = 1024
-
-
-def _fold_host(f, beta: int, shift_int: int, omega_int: int):
-    from ..hash import np_poseidon2 as npp
-
-    return npp.fold_vec(np.asarray(f, dtype=object), beta, shift_int, omega_int)
-
-
-def _host_tail_commit(f_host, mh):
-    """Commit the halves matrix of an object-array tail codeword host-side
-    (zero device dispatches; levels packed once for later query gathers)."""
-    from ..hash import np_poseidon2 as npp
-    from ..hash.hasher import Poseidon2Hasher
-
-    m = len(f_host) // 2
-    lo, hi = f_host[:m], f_host[m:]
-    halves = jnp.asarray(fr.pack_ints(list(lo) + list(hi))).reshape(
-        NUM_LIMBS, 2, m
-    )
-    if isinstance(mh, Poseidon2Hasher):
-        lv = npp.tree_levels_vec(npp.compress_vec(lo, hi, mh.params), mh.params)
-        levels = [jnp.asarray(fr.pack_ints(list(l))) for l in lv]
-        return mmcs.MerkleTree([halves], [0], levels, mh, None), int(lv[-1][0])
-    t = mmcs.commit([halves], mh)
-    return t, t.root_int()
-
-
-def _interpolate_host(evals: list, shift_int: int) -> list:
-    """Coefficients of the polynomial with these evals on shift·H (naive
-    O(m²) inverse DFT — m is the tiny final codeword)."""
-    m = len(evals)
-    w_inv = oracle.inv(pow(root_of_unity(m.bit_length() - 1), 1, R_MOD))
-    m_inv = oracle.inv(m)
-    s_inv = oracle.inv(shift_int % R_MOD)
-    coeffs = []
-    for d in range(m):
-        acc = 0
-        for j in range(m):
-            acc = oracle.add(acc, oracle.mul(evals[j], pow(w_inv, j * d, R_MOD)))
-        coeffs.append(
-            oracle.mul(oracle.mul(acc, m_inv), pow(s_inv, d, R_MOD))
-        )
-    return coeffs
 
 
 # ---------------------------------------------------------------------------
 # Verify
 # ---------------------------------------------------------------------------
-
-class VerificationError(Exception):
-    pass
-
 
 def verify(
     config: StarkConfig,
@@ -551,23 +295,25 @@ def verify(
 ) -> None:
     """Raises VerificationError on any failed check (scalar, host-side)."""
     alpha, delta = public_values
-    fri_cfg = config.fri
+    pcs = make_pcs(config)
+    p3 = config.transcript == "p3"
+    if proof.transcript != config.transcript:
+        raise VerificationError("proof transcript mode mismatch")
     shift = config.coset_shift
-    hp = config.hash_params
-    mh = config.mmcs_hasher()
 
     n = 1 << proof.log_n
     w = proof.width
     if w != air.width:
         raise VerificationError("width mismatch with AIR")
-    log_lde = proof.log_n + fri_cfg.log_blowup
+    log_lde = proof.log_n + config.fri.log_blowup
     n_lde = 1 << log_lde
     omega_lde = root_of_unity(log_lde)
     omega_n = root_of_unity(proof.log_n)
 
-    # --- replay transcript -------------------------------------------------
+    # --- replay transcript head -------------------------------------------
     challenger.observe(proof.log_n)
-    challenger.observe(w)
+    if not p3:
+        challenger.observe(w)
     challenger.observe(proof.trace_root)
     challenger.observe(alpha)
     challenger.observe(delta)
@@ -575,32 +321,25 @@ def verify(
     challenger.observe(proof.quotient_root)
     zeta = challenger.sample()
     zeta_next = oracle.mul(zeta, omega_n)
-    for v in proof.trace_at_zeta:
-        challenger.observe(v)
-    for v in proof.trace_at_zeta_next:
-        challenger.observe(v)
-    for v in proof.quotient_chunks_at_zeta:
-        challenger.observe(v)
-    alpha_p = challenger.sample()
 
-    final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
-    num_levels = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
-    betas = []
-    if len(proof.fri.commit_roots) != max(num_levels - 1, 0):
-        raise VerificationError("wrong number of FRI commitments")
-    for li in range(num_levels):
-        betas.append(challenger.sample())
-        if li < num_levels - 1:
-            challenger.observe(proof.fri.commit_roots[li])
-    if len(proof.fri.final_poly) != 1 << fri_cfg.log_final_poly_len:
-        raise VerificationError("bad final poly length")
-    for c in proof.fri.final_poly:
-        challenger.observe(c)
-    if not challenger.check_witness(fri_cfg.proof_of_work_bits, proof.fri.pow_witness):
-        raise VerificationError("proof-of-work check failed")
-    indices = [
-        challenger.sample_bits(log_lde - 1) for _ in range(fri_cfg.num_queries)
-    ]
+    # chunk count inferred from the AIR + config policy, mirroring the
+    # reference verifier's "infer log of constraint degree" (bench.log:70)
+    n_chunks = quotient_chunk_count(config, air)
+    if len(proof.quotient_chunks_at_zeta) != n_chunks:
+        raise VerificationError("wrong number of quotient chunks")
+
+    # --- PCS: transcript tail + Merkle + FRI checks ------------------------
+    pcs.verify(
+        proof.trace_root,
+        proof.quotient_root,
+        ((n_lde, w), (n_lde, n_chunks)),
+        (proof.trace_at_zeta, proof.trace_at_zeta_next,
+         proof.quotient_chunks_at_zeta),
+        zeta,
+        zeta_next,
+        proof.fri,
+        challenger,
+    )
 
     # --- quotient identity at ζ (AIR re-evaluation, air/src/lib.rs:48-53) --
     alg = ScalarAlgebra()
@@ -616,12 +355,6 @@ def verify(
         folded = oracle.add(folded, oracle.mul(oracle.mul(gk, sf), val))
         gk = oracle.mul(gk, gamma)
 
-    # recompose q(ζ) from chunk openings (chunk count inferred from the AIR's
-    # constraint degree, mirroring the reference verifier's "infer log of
-    # constraint degree" step, bench.log:70)
-    n_chunks = num_quotient_chunks(air)
-    if len(proof.quotient_chunks_at_zeta) != n_chunks:
-        raise VerificationError("wrong number of quotient chunks")
     s_n = pow(shift, n, R_MOD)
     omega_b = pow(omega_lde, n, R_MOD)
     c_n = [oracle.mul(s_n, pow(omega_b, i, R_MOD)) for i in range(n_chunks)]
@@ -644,105 +377,15 @@ def verify(
     if folded != oracle.mul(z_h, q_zeta):
         raise VerificationError("quotient identity failed at zeta")
 
-    # --- FRI query checks --------------------------------------------------
-    trace_hw = (n_lde, w)
-    quot_hw = (n_lde, n_chunks)  # one width-C matrix (see prove)
-    half0 = n_lde // 2
 
-    # All Merkle openings (input trees + every fold level, every query) are
-    # checked in one device-batched sweep (mmcs.verify_openings_batch) —
-    # scalar per-node hashing made verify slower than the reference's 944 ms.
-    merkle_requests = []
-    num_levels_chk = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
-    for qi, idx in enumerate(indices):
-        qp = proof.fri.query_proofs[qi]
-        if len(qp.input_openings) != 2 or any(
-            len(pair) != 2 for pair in qp.input_openings
-        ):
-            raise VerificationError("malformed input openings")
-        (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
-        merkle_requests.append((proof.trace_root, trace_hw, t_lo))
-        merkle_requests.append((proof.trace_root, trace_hw, t_hi))
-        merkle_requests.append((proof.quotient_root, quot_hw, q_lo))
-        merkle_requests.append((proof.quotient_root, quot_hw, q_hi))
-        if len(qp.commit_openings) != max(num_levels_chk - 1, 0):
-            raise VerificationError("malformed fold openings")
-        size_q = half0
-        for li in range(1, num_levels_chk):
-            lv_half = size_q // 2
-            merkle_requests.append(
-                (proof.fri.commit_roots[li - 1], (lv_half, 2), qp.commit_openings[li - 1])
-            )
-            size_q = lv_half
-    if not mmcs.verify_openings_batch(merkle_requests, mh):
-        raise VerificationError("Merkle opening failed")
+# ---------------------------------------------------------------------------
+# Back-compat aliases (dist/prove.py and debug tooling import these)
+# ---------------------------------------------------------------------------
 
-    for qi, idx in enumerate(indices):
-        qp = proof.fri.query_proofs[qi]
-        (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
-        for opening, want_idx in (
-            (t_lo, idx),
-            (t_hi, idx + half0),
-            (q_lo, idx),
-            (q_hi, idx + half0),
-        ):
-            if opening.index != want_idx:
-                raise VerificationError("opening index mismatch")
+_FRI_HOST_TAIL = default_host_tail()
 
-        def reduced_at(x: int, t_open, q_open) -> int:
-            acc = 0
-            k = 1
-            for rows, z, ys in (
-                (t_open.rows[0], zeta, proof.trace_at_zeta),
-                (t_open.rows[0], zeta_next, proof.trace_at_zeta_next),
-                (q_open.rows[0], zeta, proof.quotient_chunks_at_zeta),
-            ):
-                num = 0
-                for c, rv in enumerate(rows):
-                    num = oracle.add(
-                        num, oracle.mul(k, oracle.sub(rv, ys[c]))
-                    )
-                    k = oracle.mul(k, alpha_p)
-                # denominator is (z − x), matching the prover's
-                # batch_inverse(z − x) reduction
-                acc = oracle.add(
-                    acc, oracle.mul(num, oracle.inv(oracle.sub(z, x)))
-                )
-            return acc
 
-        x_lo = oracle.mul(shift, pow(omega_lde, idx, R_MOD))
-        f_lo = reduced_at(x_lo, t_lo, q_lo)
-        f_hi = reduced_at(oracle.neg(x_lo), t_hi, q_hi)
+def _fold_host(f, beta: int, shift_int: int, omega_int: int):
+    from ..hash import np_poseidon2 as npp
 
-        v = fold_pair_int(f_lo, f_hi, x_lo, betas[0])
-        pos = idx
-        cur_shift = (shift * shift) % R_MOD
-        cur_omega = (omega_lde * omega_lde) % R_MOD
-        size = half0  # size of current folded codeword
-        for li in range(1, num_levels):
-            lv_half = size // 2
-            p = pos % lv_half
-            op = qp.commit_openings[li - 1]
-            if op.index != p:
-                raise VerificationError("fold opening index mismatch")
-            lo_v, hi_v = op.rows[0]
-            expect = lo_v if pos < lv_half else hi_v
-            if v != expect:
-                raise VerificationError(
-                    f"fold consistency failed (query {qi}, level {li}, "
-                    f"pos {pos}, size {size})"
-                )
-            x_p = oracle.mul(cur_shift, pow(cur_omega, p, R_MOD))
-            v = fold_pair_int(lo_v, hi_v, x_p, betas[li])
-            pos = p
-            cur_shift = (cur_shift * cur_shift) % R_MOD
-            cur_omega = (cur_omega * cur_omega) % R_MOD
-            size = lv_half
-
-        # final check against the final polynomial
-        x_fin = oracle.mul(cur_shift, pow(cur_omega, pos, R_MOD))
-        acc = 0
-        for c in reversed(proof.fri.final_poly):
-            acc = oracle.add(oracle.mul(acc, x_fin), c)
-        if v != acc:
-            raise VerificationError("final polynomial check failed")
+    return npp.fold_vec(np.asarray(f, dtype=object), beta, shift_int, omega_int)

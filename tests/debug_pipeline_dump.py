@@ -28,11 +28,10 @@ if __name__ == "__main__":
     from linea_stark_tpu.field.constants import COSET_SHIFT, R_MOD
     from linea_stark_tpu.fri.fold import fold_codeword
     from linea_stark_tpu.ntt import coset_lde, root_of_unity
-    from linea_stark_tpu.prover.uni_stark import (
-        _barycentric_open,
-        _chunk_ldes_batched,
-        compute_quotient,
-    )
+    from linea_stark_tpu.config import FriConfig
+    from linea_stark_tpu.hash.hasher import Poseidon2Hasher
+    from linea_stark_tpu.pcs.two_adic_fri import TwoAdicFriPcs
+    from linea_stark_tpu.prover.uni_stark import compute_quotient
     from linea_stark_tpu.trace import build_trace, gen_permutation_trace
 
     NUM_LIMBS = 16
@@ -49,15 +48,20 @@ if __name__ == "__main__":
     built = build_trace([raw], [], alpha, delta, check=False)
     trace = built.matrix
 
+    pcs = TwoAdicFriPcs(
+        fri=FriConfig(log_blowup=log_blowup), hasher=Poseidon2Hasher(),
+        shift=shift,
+    )
     trace_lde = coset_lde(trace, log_blowup, shift)
-    q = compute_quotient(trace_lde, built.air, alpha, delta, gamma, n, shift)
-    chunks = q.reshape(NUM_LIMBS, n, 8).transpose(0, 2, 1)
-    chunk_stack = _chunk_ldes_batched(chunks, log_blowup, shift, omega_lde)
+    q = compute_quotient(
+        trace_lde, built.air, alpha, delta, gamma, n, shift, n_chunks=8
+    )  # (16, 8, n) coset-major
+    chunk_stack = pcs._chunk_ldes_batched(q, omega_lde)
 
     x_vec = fo.mul_const(fo.powers(omega_lde, n_lde), shift)
     zeta_v = fr.full((n_lde,), zeta)
     denom_inv = fo.batch_inverse(fo.sub(zeta_v, x_vec))
-    opened = _barycentric_open(trace_lde, zeta, shift, denom_inv, x_vec)
+    opened = pcs._barycentric_open(trace_lde, zeta, denom_inv, x_vec)
 
     # reduced codeword with one point for simplicity
     f0 = fr.zeros((n_lde,))

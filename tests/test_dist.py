@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # sharded CPU-mesh compiles exceed the fast-tier budget
+
 from linea_stark_tpu.dist import make_mesh, sharded_fold, sharded_merkle_root, sharded_ntt
 from linea_stark_tpu.dist.sharded import sharded_tree_levels
 from linea_stark_tpu.field import fr

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # sharded CPU-mesh compiles exceed the fast-tier budget
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from linea_stark_tpu.challenger import HashChallenger

