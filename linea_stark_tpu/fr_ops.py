@@ -166,19 +166,13 @@ def _shift_fill(x: jax.Array, k: int, fill: jax.Array, reverse: bool) -> jax.Arr
     return jnp.concatenate([pad, x[..., : n - k]], axis=-1)
 
 
-def _scan_kernel_ok(x: jax.Array) -> bool:
-    # The single-dispatch Pallas scan kernel (sequential grid + VMEM scratch
-    # carry) is DISABLED by default on the remote-TPU backend: its execution
-    # wedges the axon runtime non-deterministically (observed across rounds —
-    # the round-2 driver bench hung forever at the first scan execution, and
-    # isolated reproductions hang in `pf.scan` while every other kernel
-    # completes).  The log-doubling sweep below uses only the known-good
-    # elementwise kernels.  Re-enable for experiments with LINEA_SCAN_KERNEL=1.
-    import os
-
-    if os.environ.get("LINEA_SCAN_KERNEL") != "1":
-        return False
-    return use_pallas() and x.ndim == 2 and x.shape[-1] >= 1024
+# Historical note: a single-dispatch Pallas scan kernel (sequential grid +
+# VMEM scratch carry) existed through round 3 but was DELETED in round 4 —
+# its execution wedged the remote axon runtime non-deterministically (the
+# round-2 driver bench hung forever at the first scan execution; isolated
+# reproductions hung in the kernel while every elementwise kernel
+# completed), and it had been disabled-by-default dead code since.  The
+# log-doubling sweep below is the production scan path.
 
 
 def _doubling_scan(x: jax.Array, op: str, reverse: bool) -> jax.Array:
@@ -201,10 +195,6 @@ def _doubling_scan(x: jax.Array, op: str, reverse: bool) -> jax.Array:
 
 def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
     """Inclusive prefix (or suffix) product along the last axis."""
-    if _scan_kernel_ok(x):
-        from .kernels import pallas_field as pf
-
-        return pf.scan(x, "mul", reverse)
     if use_pallas():
         if isinstance(x, jax.core.Tracer):
             # Inside a jitted phase: one lax.scan over doubling offsets with
@@ -217,10 +207,6 @@ def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
 
 def prefix_sum(x: jax.Array, reverse: bool = False) -> jax.Array:
     """Inclusive prefix (or suffix) sum along the last axis."""
-    if _scan_kernel_ok(x):
-        from .kernels import pallas_field as pf
-
-        return pf.scan(x, "add", reverse)
     if use_pallas():
         if isinstance(x, jax.core.Tracer):
             return fr.prefix_scan(x, "add", reverse, combine=add)
@@ -285,9 +271,10 @@ def batch_inverse(x: jax.Array) -> jax.Array:
     inv_vals = [oracle.inv(v) for v in vals]
     total_inv = jnp.asarray(fr.pack_ints(inv_vals)).reshape(total.shape)
 
-    if _scan_kernel_ok(x):
+    if use_pallas() and x.ndim == 2:
         from .kernels import pallas_field as pf
 
+        # fused a·b·scalar finish: one dispatch instead of two multiplies
         return pf.mul3_scalar(pre_exc, suf_exc, total_inv.reshape(NUM_LIMBS))
     return mul(mul(pre_exc, suf_exc), total_inv)
 

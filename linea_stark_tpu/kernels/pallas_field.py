@@ -228,124 +228,6 @@ def weighted_block_sums_128(x: jax.Array, u: jax.Array, tile: int = 8192) -> jax
     return out.reshape(NUM_LIMBS, w, 128)
 
 
-_SCAN_LANES = 128
-
-
-def _scan_kernel(x_ref, o_ref, carry_ref, *, op, identity, reverse):
-    """Inclusive prefix (or suffix) scan block with cross-block carry.
-
-    The block is (16, R, 128) — flat index (row, lane) row-major.  A flat
-    Hillis-Steele shift by k decomposes into tile-friendly pieces Mosaic
-    lowers cleanly: lane-steps (k < 128) are a lane concat borrowing the
-    previous row's tail, row-steps (k = 128·m) are a sublane concat.  Grid
-    iterations run sequentially on TPU; ``carry_ref`` is VMEM scratch
-    persisting the running total across blocks.  ``op``: 'mul' (identity =
-    Montgomery one) or 'add' (identity = zero).  For reverse scans the index
-    maps feed blocks in reverse order and every shift mirrors."""
-    r = x_ref.shape[1]
-    lanes = x_ref.shape[2]
-    j = pl.program_id(0)
-    x = [x_ref[i] for i in range(NUM_LIMBS)]  # each (R, 128)
-
-    combine = fr.mul_limb_lists if op == "mul" else fr.add_limb_lists
-
-    def ident_arr(rows, cols, i):
-        return jnp.full((rows, cols), identity[i], U32)
-
-    k = 1
-    while k < lanes:
-        shifted = []
-        for i in range(NUM_LIMBS):
-            if reverse:
-                nxt = jnp.concatenate([x[i][1:], ident_arr(1, lanes, i)], axis=0)
-                head = nxt[:, :k]
-                shifted.append(jnp.concatenate([x[i][:, k:], head], axis=1))
-            else:
-                prev = jnp.concatenate([ident_arr(1, lanes, i), x[i][:-1]], axis=0)
-                tail = prev[:, lanes - k :]
-                shifted.append(jnp.concatenate([tail, x[i][:, : lanes - k]], axis=1))
-        x = combine(x, shifted)
-        k *= 2
-    m = 1
-    while m < r:
-        shifted = []
-        for i in range(NUM_LIMBS):
-            if reverse:
-                shifted.append(
-                    jnp.concatenate([x[i][m:], ident_arr(m, lanes, i)], axis=0)
-                )
-            else:
-                shifted.append(
-                    jnp.concatenate([ident_arr(m, lanes, i), x[i][:-m]], axis=0)
-                )
-        x = combine(x, shifted)
-        m *= 2
-
-    @pl.when(j == 0)
-    def _():
-        for i in range(NUM_LIMBS):
-            carry_ref[i] = jnp.full((1, 1), identity[i], U32)
-
-    carry = [carry_ref[i] for i in range(NUM_LIMBS)]  # (1, 1) broadcasts
-    out = combine(x, carry)
-    for i in range(NUM_LIMBS):
-        o_ref[i] = out[i]
-    for i in range(NUM_LIMBS):
-        if reverse:
-            carry_ref[i] = out[i][0:1, 0:1]
-        else:
-            carry_ref[i] = out[i][r - 1 : r, lanes - 1 : lanes]
-
-
-@functools.partial(jax.jit, static_argnames=("op", "reverse", "tile"))
-def scan(x: jax.Array, op: str = "mul", reverse: bool = False,
-         tile: int = 8192) -> jax.Array:
-    """Inclusive prefix/suffix scan along the last axis of (16, N) in ONE
-    kernel dispatch (vs log2(N) full-width sweeps).  N must be a multiple
-    of 128."""
-    from ..field import oracle
-    from ..field.constants import to_limbs
-
-    n = x.shape[-1]
-    assert n % _SCAN_LANES == 0
-    t = min(tile, n)
-    while n % t:
-        t //= 2
-    identity = (
-        tuple(int(v) for v in to_limbs(oracle.to_mont(1)))
-        if op == "mul"
-        else (0,) * NUM_LIMBS
-    )
-    nb = n // t
-    rows = t // _SCAN_LANES
-    x3 = x.reshape(NUM_LIMBS, n // _SCAN_LANES, _SCAN_LANES)
-    if reverse:
-        spec = pl.BlockSpec(
-            (NUM_LIMBS, rows, _SCAN_LANES),
-            lambda i, nb=nb: (0, nb - 1 - i, 0),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        spec = pl.BlockSpec(
-            (NUM_LIMBS, rows, _SCAN_LANES),
-            lambda i: (0, i, 0),
-            memory_space=pltpu.VMEM,
-        )
-    kernel = functools.partial(
-        _scan_kernel, op=op, identity=identity, reverse=reverse
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
-        grid=(nb,),
-        in_specs=[spec],
-        out_specs=spec,
-        scratch_shapes=[pltpu.VMEM((NUM_LIMBS, 1, 1), jnp.uint32)],
-        interpret=_interpret(),
-    )(x3)
-    return out.reshape(NUM_LIMBS, n)
-
-
 def _mul3_scalar_kernel(c_ref, a_ref, b_ref, o_ref):
     la = [a_ref[i] for i in range(NUM_LIMBS)]
     lb = [b_ref[i] for i in range(NUM_LIMBS)]

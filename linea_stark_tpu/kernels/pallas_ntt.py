@@ -176,10 +176,19 @@ def _stage4_axis2(
     return out.reshape(NUM_LIMBS, c, quarter, 4 * m, s)
 
 
-def _radix4() -> bool:
-    import os
+# Read once at import: a per-call read would freeze into jit caches anyway
+# (making the toggle silently inert under a caller's jit) and the
+# radix-2-default compile/runtime trade-off deserves one visible constant.
+# Default radix-2: ~2x the HBM passes of radix-4 but ~4x cheaper Mosaic
+# compile per stage program — the cold-start bill dominates on the remote
+# backend.  Set LINEA_NTT_RADIX=4 before import for throughput experiments.
+import os as _os
 
-    return os.environ.get("LINEA_NTT_RADIX") == "4"
+_RADIX4 = _os.environ.get("LINEA_NTT_RADIX") == "4"
+
+
+def _radix4() -> bool:
+    return _RADIX4
 
 
 def _transform_axis2(v: jax.Array, log_nt: int, table: jax.Array, n_table: int) -> jax.Array:
@@ -284,7 +293,14 @@ def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     c = 1
     for sdim in batch:
         c *= sdim
-    c_pad = _CANON_BATCH if 1 < c < _CANON_BATCH else c
+    if 1 < c < _CANON_BATCH:
+        c_pad = _CANON_BATCH  # share one program set across small callers
+    elif c > _CANON_BATCH and c & (c - 1):
+        # round odd larger batches up to the next power of two so variable
+        # batch counts collapse onto a few program sets (round-3 advisor)
+        c_pad = 1 << c.bit_length()
+    else:
+        c_pad = c
     log_n1 = log_n // 2
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2

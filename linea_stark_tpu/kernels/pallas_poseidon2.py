@@ -321,19 +321,27 @@ def leaf_hash(matrix, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DEFA
 
 def hash_columns_list(cols, params: Poseidon2Params = DEFAULT_PARAMS,
                       tile: int = DEFAULT_TILE):
+    """Rate-2 absorb chain over W columns.  Columns are padded to the shared
+    canonical lane count ONCE and the padded state threads through the whole
+    chain — one slice at the end (per-chunk re-pad/re-slice cost extra HBM
+    round trips on the remote path; round-3 advisor)."""
     w = len(cols)
     assert w >= 1
+    n = cols[0].shape[-1]
+    n_pad = _canon(n)
+    pc = [_pad_lanes(c, n_pad) for c in cols]
     if w == 1:
-        z = jnp.zeros_like(cols[0])
-        return permute2(cols[0], z, params, tile)[0]
-    s0, s1, s2 = permute2(cols[0], cols[1], params, tile)
+        z = jnp.zeros_like(pc[0])
+        s0 = _permute2_call(pc[0], z, params, tile)[0]
+        return s0[..., :n] if n_pad != n else s0
+    s0, s1, s2 = _permute2_call(pc[0], pc[1], params, tile)
     i = RATE
     while i + 1 < w:
-        s0, s1, s2 = permute(cols[i], cols[i + 1], s2, params, tile)
+        s0, s1, s2 = _permute_call(pc[i], pc[i + 1], s2, params, tile)
         i += RATE
     if i < w:  # odd tail chunk: second rate word keeps its previous value
-        s0, s1, s2 = permute(cols[i], s1, s2, params, tile)
-    return s0
+        s0, s1, s2 = _permute_call(pc[i], s1, s2, params, tile)
+    return s0[..., :n] if n_pad != n else s0
 
 
 # ---------------------------------------------------------------------------

@@ -1,8 +1,10 @@
-"""Single-dispatch scan kernel + whole-subtree Merkle kernel (interpret mode).
+"""Whole-subtree Merkle kernel + fused batch-inverse finish (interpret mode).
 
-These kernels exist to collapse dispatch-latency-bound phases (prefix scans,
-FRI-level tree builds) into one launch each; correctness is checked against
-the plain-XLA implementations and Python oracles.
+These kernels collapse dispatch-latency-bound phases (batch-inverse
+finish, FRI-level tree builds) into one launch each; correctness is checked
+against the plain-XLA implementations and Python oracles.  (The
+sequential-grid scan kernel that used to live here was deleted in round 4 —
+see fr_ops.py.)
 """
 
 import random
@@ -30,34 +32,6 @@ def rand_vals(n):
     return [rng.randrange(1, R_MOD) for _ in range(n)]
 
 
-def test_scan_kernel_mul_fwd_rev_multiblock():
-    n = 1024
-    vals = rand_vals(n)
-    x = jnp.asarray(fr.pack_ints(vals))
-    # tile=256 -> 4 blocks: exercises the cross-block SMEM carry
-    pre = fr.unpack_ints(np.asarray(pf.scan(x, "mul", False, tile=256)))
-    suf = fr.unpack_ints(np.asarray(pf.scan(x, "mul", True, tile=256)))
-    acc = 1
-    for i, v in enumerate(vals):
-        acc = acc * v % R_MOD
-        assert pre[i] == acc, f"prefix mismatch at {i}"
-    acc = 1
-    for i in range(n - 1, -1, -1):
-        acc = acc * vals[i] % R_MOD
-        assert suf[i] == acc, f"suffix mismatch at {i}"
-
-
-def test_scan_kernel_add_multiblock():
-    n = 1024
-    vals = rand_vals(n)
-    x = jnp.asarray(fr.pack_ints(vals))
-    got = fr.unpack_ints(np.asarray(pf.scan(x, "add", False, tile=256)))
-    acc = 0
-    for i, v in enumerate(vals):
-        acc = (acc + v) % R_MOD
-        assert got[i] == acc
-
-
 def test_mul3_scalar():
     n = 256
     a_v, b_v = rand_vals(n), rand_vals(n)
@@ -78,6 +52,36 @@ TINY_PARAMS = p2.Poseidon2Params(
     rounds_f=2, rounds_p=1,
     constants=tuple(p2.derive_round_constants(rounds_f=2, rounds_p=1)),
 )
+
+
+def test_full_round_permute2_and_tree_step():
+    """Full 46-round kernel bodies (not TINY_PARAMS) through permute2 and one
+    2-D tree_step, on a handful of lanes vs the scalar oracle — the
+    concatenated-S-box _rounds path at production round counts (round-3
+    advisor: only the slow grind test covered full rounds, and only via
+    permute)."""
+    params = p2.DEFAULT_PARAMS
+    n = 4
+    a_v, b_v = rand_vals(n), rand_vals(n)
+    a = jnp.asarray(fr.pack_ints(a_v))
+    b = jnp.asarray(fr.pack_ints(b_v))
+    o0, o1, o2 = pk.permute2(a, b, params)
+    for i in range(n):
+        want = p2.permute_ints([a_v[i], b_v[i], 0], params)
+        got = [
+            fr.unpack_ints(np.asarray(o[..., i : i + 1]))[0] for o in (o0, o1, o2)
+        ]
+        assert got == want, f"permute2 lane {i}"
+
+    # one tree_step over a 2-row buffer (2 x 128 lanes, pairing distance 1
+    # row): out[j] = compress(X[j], X[j + 1 row]) for the first row
+    lanes = pk._TREE_LANES
+    vals = rand_vals(2 * lanes)
+    buf = jnp.asarray(fr.pack_ints(vals)).reshape(16, 2, lanes)
+    out = pk._tree_step(buf, jnp.asarray([1], dtype=jnp.int32), params)
+    got = fr.unpack_ints(np.asarray(out.reshape(16, lanes)))
+    for j in range(lanes):
+        assert got[j] == p2.compress_ints(vals[j], vals[lanes + j], params)
 
 
 def test_subtree_levels_matches_sweeps():
