@@ -436,17 +436,24 @@ def subtree_levels(d_br: jax.Array, params: Poseidon2Params = DEFAULT_PARAMS) ->
         h_rows //= 2
 
     # host finish: _SUBTREE_HOST entries -> log2 more levels + root
+    levels.extend(host_subtree_finish(levels[-1][:, :_SUBTREE_HOST], params))
+    return levels
+
+
+def host_subtree_finish(top: jax.Array, params: Poseidon2Params = DEFAULT_PARAMS) -> list:
+    """Finish a tiny BIT-REVERSED digest layer host-side: compressing the
+    two halves yields the next level already bit-reversed over one fewer
+    bit (the natural pair (2s, 2s+1) sits at (j, j + size/2) in BR order).
+    Returns the remaining levels as device arrays, root last.  Blocks on a
+    device->host fetch — callers observe the root immediately anyway."""
     from ..hash import np_poseidon2 as npp
 
-    top = levels[-1][:, :_SUBTREE_HOST]
     vals = np.array(fr.unpack_ints(np.asarray(top)), dtype=object)
-    size = _SUBTREE_HOST
+    out = []
+    size = vals.shape[-1]
     while size > 1:
-        # BR pairing: the natural pair (2s, 2s+1) sits at (j, j + size/2) in
-        # bit-reversed order, and compressing halves yields the next level
-        # already bit-reversed over one fewer bit.
         half = size // 2
         vals = npp.compress_vec(vals[:half], vals[half:], params)
         size = half
-        levels.append(jnp.asarray(fr.pack_ints(list(vals))))
-    return levels
+        out.append(jnp.asarray(fr.pack_ints(list(vals))))
+    return out

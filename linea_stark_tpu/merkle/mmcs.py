@@ -141,12 +141,90 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
     return MerkleTree(list(matrices), order, levels, h, br_start)
 
 
+def _fused_ok(h) -> bool:
+    import os
+
+    from ..hash.hasher import Poseidon2Hasher
+
+    return (
+        use_pallas()
+        and isinstance(h, Poseidon2Hasher)
+        and os.environ.get("LINEA_FUSED", "1") != "0"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _fused_single_levels(d: jax.Array, params):
+    """Every device tree level above a (16, N) digest layer in ONE compiled
+    program: the exact-size halving sweeps down to TREE_SWEEP_SIZE plus the
+    whole bit-reversed subtree chain down to the host-finish threshold.
+
+    Rationale: the remote runtime charges ~13 ms per kernel dispatch
+    regardless of size, so the previous one-dispatch-per-level chain spent
+    ~15 round trips (~0.3 s) per tree on latency; fused, a 2^21-digest tree
+    executes in ~0.13 s.  Compile is ~1 min per distinct layer size and
+    rides the persistent compile cache.  Returns (sweep_levels,
+    subtree_levels) — the latter in bit-reversed order at padded widths."""
+    from ..kernels import pallas_poseidon2 as pk
+
+    sweeps = []
+    size = d.shape[-1]
+    while size > TREE_SWEEP_SIZE and size > 1:
+        size //= 2
+        d = pk.compress(d[..., 0::2], d[..., 1::2], params)
+        sweeps.append(d)
+    ups = []
+    if size > 1:
+        padded = d
+        if size < TREE_SWEEP_SIZE:
+            padded = jnp.concatenate(
+                [d, jnp.zeros((d.shape[0], TREE_SWEEP_SIZE - size), d.dtype)],
+                axis=-1,
+            )
+        d_br = jnp.take(
+            padded, jnp.asarray(_bitrev_table(TREE_SWEEP_SIZE)), axis=-1
+        )
+        buf = d_br.reshape(
+            NUM_LIMBS, TREE_SWEEP_SIZE // pk._TREE_LANES, pk._TREE_LANES
+        )
+        h_rows = TREE_SWEEP_SIZE // pk._TREE_LANES // 2
+        while h_rows * pk._TREE_LANES >= pk._SUBTREE_HOST:
+            out = pk._tree_step(
+                buf, jnp.asarray([h_rows], dtype=jnp.int32), params
+            )
+            ups.append(
+                out.reshape(NUM_LIMBS, TREE_SWEEP_SIZE // 2)[
+                    :, : h_rows * pk._TREE_LANES
+                ]
+            )
+            buf = jnp.concatenate([out, out], axis=1)
+            h_rows //= 2
+    return tuple(sweeps), tuple(ups)
+
+
 def build_levels_single(d: jax.Array, h) -> tuple:
     """All digest levels above a (16, N) leaf layer.  Returns
     (levels, br_start) — levels[0] is the leaf layer; levels at index >=
     ``br_start`` (when not None) are stored in bit-reversed order."""
     max_h = d.shape[-1]
     br_start = None
+    if _fused_ok(h) and max_h > 1:
+        from ..kernels import pallas_poseidon2 as pk
+
+        sweeps, ups = _fused_single_levels(d, h.params)
+        levels = [d] + list(sweeps)
+        if ups:
+            all_ups = list(ups) + pk.host_subtree_finish(
+                ups[-1][:, : pk._SUBTREE_HOST], h.params
+            )
+            # The padded subtree always produces log2(TREE_SWEEP_SIZE)
+            # levels; only the first log2(actual layer size) are levels of
+            # the REAL tree (its root sits at position 0 there) — matching
+            # the pre-fusion convention so root_int/open_batch work as-is.
+            size_end = min(max_h, TREE_SWEEP_SIZE)
+            br_start = len(levels)
+            levels.extend(all_ups[: size_end.bit_length() - 1])
+        return levels, br_start
     if not use_pallas():
         if max_h >= 4:
             return [d] + _scan_tree_levels(d, h), None

@@ -18,6 +18,7 @@ at query time (PARITY.md §3 items 3-4).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -34,30 +35,144 @@ from ..merkle import mmcs
 from ..merkle.mmcs import _bitrev_device, _bitrev_table
 from ..ntt import coset_lde, ntt
 from ..ntt.ntt import _coset_scale, _powers_device, pad_coeffs, root_of_unity
-from ..prover.proof import (
-    CommitPhaseStep,
-    FriProof,
-    P3QueryProof,
-    QueryProof,
-)
 from ..utils.timing import span
+
+# Proof containers are imported lazily inside the methods that build them:
+# prover/__init__ imports uni_stark which imports this module, so a
+# module-level import of prover.proof would close an import cycle when the
+# pcs package is imported first.
 
 
 class VerificationError(Exception):
     pass
 
 
-# FRI folds at/below this size run on the host.  With the native C engine a
-# whole 2^15 tail (folds + Merkle commits) costs ~0.4 s of CPU — cheaper
-# than the dozens of remote-TPU dispatches + root syncs the same levels cost
-# on device.  Without it, the object-array sponge (~5k perms/s) caps the
-# affordable tail at 1024.
-_FRI_HOST_TAIL_NATIVE = 1 << 15
+def _fused() -> bool:
+    """Phase-level jit on the TPU path: whole phases compile to ONE program
+    each (the remote runtime charges ~13 ms per dispatch, so eager chains of
+    dozens of kernels are latency-bound).  The compiled programs ride the
+    persistent compile cache; LINEA_FUSED=0 reverts to eager dispatch."""
+    import os
+
+    from ..backend import use_pallas
+
+    return use_pallas() and os.environ.get("LINEA_FUSED", "1") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("log_blowup", "shift"))
+def _coset_lde_jit(x, log_blowup: int, shift: int):
+    return coset_lde(x, log_blowup, shift)
+
+
+@functools.partial(jax.jit, static_argnames=("log_blowup", "shift", "omega_lde"))
+def _chunk_ldes_jit(chunks, log_blowup: int, shift: int, omega_lde: int):
+    return _chunk_ldes_impl(chunks, log_blowup, shift, omega_lde)
+
+
+def _chunk_ldes_impl(chunks, log_blowup: int, shift: int, omega_lde: int):
+    """(16, B, n) chunk evals on cosets shift·ω^i -> (16, B, n·blowup) on
+    shift·H_big; per-chunk inverse-coset scale built by block doubling so
+    the NTTs run with B as a plain batch axis."""
+    b, n = chunks.shape[1], chunks.shape[-1]
+    coeffs = ntt(chunks, inverse=True, scale=True)
+    inv_shift = pow(shift, R_MOD - 2, R_MOD)
+    inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
+    cur = _powers_device(inv_shift, n)[:, None, :]
+    size = 1
+    while size < b:
+        r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
+        cur = jnp.concatenate([cur, fo.mul(cur, r_k[:, None, :])], axis=1)
+        size *= 2
+    coeffs = fo.mul(coeffs, cur[:, :b])
+    padded = pad_coeffs(coeffs, log_blowup)
+    big_n = n << log_blowup
+    scale = _coset_scale(big_n, shift)
+    padded = fo.mul(padded, scale[:, None, :])
+    return ntt(padded)
+
+
+# FRI folds at/below this size run on the host.  Threshold tuning on the
+# v5e (BENCH_MATRIX.md): a device level costs ~60 ms of dispatch latency
+# regardless of size, while the native C engine commits ~123k perms/s — so
+# host wins below ~2^13 (8k perms ≈ 70 ms) and loses at 2^15 (the round-4
+# first cut: +1.1 s on the 2^19 bench).  Without the C engine the
+# object-array sponge (~5k perms/s) caps the affordable tail at 1024.
+_FRI_HOST_TAIL_NATIVE = 1 << 13
 _FRI_HOST_TAIL_OBJ = 1 << 10
 
 
 def default_host_tail() -> int:
     return _FRI_HOST_TAIL_NATIVE if ne.available() else _FRI_HOST_TAIL_OBJ
+
+
+def _mont_scalar(v_int: int) -> jax.Array:
+    """Host int -> (16,) Montgomery device scalar."""
+    return jnp.asarray(fr.pack_ints([v_int]))[:, 0]
+
+
+@jax.jit
+def _open_values_jit(trace_lde, chunk_stack, zeta_s, zeta_next_s, x_vec):
+    """Inverse denominators + barycentric block partials, ONE program.
+
+    Returns (di, pa, pb, pc): di = (16, 2, n_lde) inverses of (ζ−x, ζg−x);
+    p* = (16, W, 128) raw Montgomery block sums of Σ p(x)·x/(z−x) per column
+    (host finishes the 128-way adds + constant factor)."""
+    from ..kernels import pallas_field as pf
+
+    shape = x_vec.shape
+    zb = jnp.broadcast_to(zeta_s[:, None], shape)
+    znb = jnp.broadcast_to(zeta_next_s[:, None], shape)
+    di = fo.batch_inverse(
+        jnp.stack([fo.sub(zb, x_vec), fo.sub(znb, x_vec)], axis=1).reshape(
+            NUM_LIMBS, 2 * shape[-1]
+        )
+    ).reshape(NUM_LIMBS, 2, shape[-1])
+    u0 = fo.mul(x_vec, di[:, 0])
+    u1 = fo.mul(x_vec, di[:, 1])
+    pa = pf.weighted_block_sums_128(trace_lde, u0)
+    pb = pf.weighted_block_sums_128(trace_lde, u1)
+    pc = pf.weighted_block_sums_128(chunk_stack, u0)
+    return di, pa, pb, pc
+
+
+def _finish_opened(partials, z: int, n: int, shift: int) -> list:
+    """Host finish of barycentric block partials -> canonical opened ints."""
+    pn = np.asarray(partials)
+    w = pn.shape[1]
+    vals = fr.unpack_ints(pn.reshape(NUM_LIMBS, -1), mont=False)
+    s_n = pow(shift, n, R_MOD)
+    const = oracle.mul(
+        oracle.sub(pow(z, n, R_MOD), s_n), oracle.inv((n * s_n) % R_MOD)
+    )
+    out = []
+    for c in range(w):
+        acc = 0
+        for v in vals[c * 128 : (c + 1) * 128]:
+            acc = oracle.add(acc, v)
+        out.append(oracle.mul(oracle.from_mont(acc), const))
+    return out
+
+
+@jax.jit
+def _reduce_fused(trace_lde, chunk_stack, di, kpow, gconsts):
+    """Reduced codeword f0 = Σ_g dinv_g·(Σ_c α'^{k}·col − Σ_c α'^{k}·y_c)
+    in ONE program.  kpow: (16, K) Montgomery α'-power scalars in column
+    order; gconsts: (16, 3) per-group Σ α'^k·y_k."""
+    f0 = None
+    k = 0
+    for gi, (mat, d_idx) in enumerate(
+        ((trace_lde, 0), (trace_lde, 1), (chunk_stack, 0))
+    ):
+        num = None
+        for c in range(mat.shape[1]):
+            t = fo.mul_scalar_arr(mat[:, c], kpow[:, k])
+            k += 1
+            num = t if num is None else fo.add(num, t)
+        cb = jnp.broadcast_to(gconsts[:, gi][:, None], num.shape)
+        num = fo.sub(num, cb)
+        term = fo.mul(num, di[:, d_idx])
+        f0 = term if f0 is None else fo.add(f0, term)
+    return f0
 
 
 def _bitrev_int(x: int, bits: int) -> int:
@@ -102,7 +217,10 @@ class TwoAdicFriPcs:
         The reference's ``pcs.commit(trace_domain, trace)``: coset LDE
         (bench.log:20) + Merkle commit (bench.log:19)."""
         with span("coset_lde_batch"):
-            lde = coset_lde(trace, self.fri.log_blowup, self.shift)
+            if _fused():
+                lde = _coset_lde_jit(trace, self.fri.log_blowup, self.shift)
+            else:
+                lde = coset_lde(trace, self.fri.log_blowup, self.shift)
         with span("merkle commit"):
             tree = self._commit_matrix(lde)
             root = tree.root_int()
@@ -150,26 +268,13 @@ class TwoAdicFriPcs:
         )
 
     def _chunk_ldes_batched(self, chunks: jax.Array, omega_lde: int) -> jax.Array:
-        """(16, B, n) chunk evals -> (16, B, n·blowup) on shift·H_big.
-
-        Per-chunk inverse-coset scale S[i, d] = shift^{-d}·ω^{-i·d} built by
-        block doubling, so the NTTs run with B as a plain batch axis."""
-        b, n = chunks.shape[1], chunks.shape[-1]
-        coeffs = ntt(chunks, inverse=True, scale=True)
-        inv_shift = pow(self.shift, R_MOD - 2, R_MOD)
-        inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
-        cur = _powers_device(inv_shift, n)[:, None, :]
-        size = 1
-        while size < b:
-            r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
-            cur = jnp.concatenate([cur, fo.mul(cur, r_k[:, None, :])], axis=1)
-            size *= 2
-        coeffs = fo.mul(coeffs, cur[:, :b])
-        padded = pad_coeffs(coeffs, self.fri.log_blowup)
-        big_n = n << self.fri.log_blowup
-        scale = _coset_scale(big_n, self.shift)
-        padded = fo.mul(padded, scale[:, None, :])
-        return ntt(padded)
+        if _fused():
+            return _chunk_ldes_jit(
+                chunks, self.fri.log_blowup, self.shift, omega_lde
+            )
+        return _chunk_ldes_impl(
+            chunks, self.fri.log_blowup, self.shift, omega_lde
+        )
 
     # ------------------------------------------------------------------
     # Opened values (barycentric)
@@ -208,27 +313,42 @@ class TwoAdicFriPcs:
 
         with span("open"):
             x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), self.shift)
-            with span("compute_inverse_denominators"):
-                zeta_v = fr.full((n_lde,), zeta)
-                zeta_next_v = fr.full((n_lde,), zeta_next)
-                di = fo.batch_inverse(
-                    jnp.stack(
-                        [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)],
-                        axis=1,
-                    ).reshape(NUM_LIMBS, 2 * n_lde)
-                ).reshape(NUM_LIMBS, 2, n_lde)
-                denom_inv_zeta, denom_inv_next = di[:, 0], di[:, 1]
+            fused = _fused()
+            if fused:
+                with span("compute_inverse_denominators"):
+                    di, pa, pb, pc = _open_values_jit(
+                        trace_lde, chunk_stack,
+                        _mont_scalar(zeta), _mont_scalar(zeta_next), x_vec,
+                    )
+                    denom_inv_zeta, denom_inv_next = di[:, 0], di[:, 1]
+                with span("opened values (barycentric)"):
+                    trace_at_zeta = _finish_opened(pa, zeta, n_lde, self.shift)
+                    trace_at_zeta_next = _finish_opened(
+                        pb, zeta_next, n_lde, self.shift
+                    )
+                    chunks_at_zeta = _finish_opened(pc, zeta, n_lde, self.shift)
+            else:
+                with span("compute_inverse_denominators"):
+                    zeta_v = fr.full((n_lde,), zeta)
+                    zeta_next_v = fr.full((n_lde,), zeta_next)
+                    di = fo.batch_inverse(
+                        jnp.stack(
+                            [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)],
+                            axis=1,
+                        ).reshape(NUM_LIMBS, 2 * n_lde)
+                    ).reshape(NUM_LIMBS, 2, n_lde)
+                    denom_inv_zeta, denom_inv_next = di[:, 0], di[:, 1]
 
-            with span("opened values (barycentric)"):
-                trace_at_zeta = self._barycentric_open(
-                    trace_lde, zeta, denom_inv_zeta, x_vec
-                )
-                trace_at_zeta_next = self._barycentric_open(
-                    trace_lde, zeta_next, denom_inv_next, x_vec
-                )
-                chunks_at_zeta = self._barycentric_open(
-                    chunk_stack, zeta, denom_inv_zeta, x_vec
-                )
+                with span("opened values (barycentric)"):
+                    trace_at_zeta = self._barycentric_open(
+                        trace_lde, zeta, denom_inv_zeta, x_vec
+                    )
+                    trace_at_zeta_next = self._barycentric_open(
+                        trace_lde, zeta_next, denom_inv_next, x_vec
+                    )
+                    chunks_at_zeta = self._barycentric_open(
+                        chunk_stack, zeta, denom_inv_zeta, x_vec
+                    )
 
             if self.transcript == "p3":
                 alpha_p = challenger.sample()
@@ -244,19 +364,46 @@ class TwoAdicFriPcs:
             # Reduced codeword f0 = Σ α'^k (col(x) − y)/(z − x), k over
             # [trace@ζ cols, trace@ζ·g cols, chunks@ζ].
             with span("reduce matrix quotient"):
-                f0 = fr.zeros((n_lde,))
-                k = 1
-                for mat, ys, dinv in (
-                    (trace_lde, trace_at_zeta, denom_inv_zeta),
-                    (trace_lde, trace_at_zeta_next, denom_inv_next),
-                    (chunk_stack, chunks_at_zeta, denom_inv_zeta),
-                ):
-                    num = fr.zeros((n_lde,))
-                    for c in range(mat.shape[1]):
-                        col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
-                        num = fo.add(num, fo.mul_const(col, k))
-                        k = oracle.mul(k, alpha_p)
-                    f0 = fo.add(f0, fo.mul(num, dinv))
+                if fused:
+                    w = trace_lde.shape[1]
+                    n_chunks = chunk_stack.shape[1]
+                    ys_all = (
+                        trace_at_zeta + trace_at_zeta_next + chunks_at_zeta
+                    )
+                    # column k's coefficient is α'^k starting at α'^0
+                    # (matching the eager loop's k=1 initial value)
+                    kpows = [
+                        pow(alpha_p, k, R_MOD) for k in range(len(ys_all))
+                    ]
+                    gconsts = []
+                    k = 0
+                    for gw in (w, w, n_chunks):
+                        acc = 0
+                        for _ in range(gw):
+                            acc = oracle.add(
+                                acc, oracle.mul(kpows[k], ys_all[k])
+                            )
+                            k += 1
+                        gconsts.append(acc)
+                    f0 = _reduce_fused(
+                        trace_lde, chunk_stack, di,
+                        jnp.asarray(fr.pack_ints(kpows)),
+                        jnp.asarray(fr.pack_ints(gconsts)),
+                    )
+                else:
+                    f0 = fr.zeros((n_lde,))
+                    k = 1
+                    for mat, ys, dinv in (
+                        (trace_lde, trace_at_zeta, denom_inv_zeta),
+                        (trace_lde, trace_at_zeta_next, denom_inv_next),
+                        (chunk_stack, chunks_at_zeta, denom_inv_zeta),
+                    ):
+                        num = fr.zeros((n_lde,))
+                        for c in range(mat.shape[1]):
+                            col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
+                            num = fo.add(num, fo.mul_const(col, k))
+                            k = oracle.mul(k, alpha_p)
+                        f0 = fo.add(f0, fo.mul(num, dinv))
 
         with span("FRI prover"):
             if self.transcript == "p3":
@@ -274,6 +421,13 @@ class TwoAdicFriPcs:
     # ------------------------------------------------------------------
 
     def _fri_prove_native(self, f0, trace_tree, quotient_tree, challenger):
+        from ..prover.proof import (
+            CommitPhaseStep,
+            FriProof,
+            P3QueryProof,
+            QueryProof,
+        )
+
         fri_cfg = self.fri
         n_lde = f0.shape[-1]
         log_lde = n_lde.bit_length() - 1
@@ -364,6 +518,13 @@ class TwoAdicFriPcs:
     # ------------------------------------------------------------------
 
     def _fri_prove_p3(self, f0, trace_tree, quotient_tree, challenger):
+        from ..prover.proof import (
+            CommitPhaseStep,
+            FriProof,
+            P3QueryProof,
+            QueryProof,
+        )
+
         fri_cfg = self.fri
         n_lde = f0.shape[-1]
         log_lde = n_lde.bit_length() - 1

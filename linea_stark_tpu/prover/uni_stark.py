@@ -55,12 +55,26 @@ from ..config import StarkConfig
 from ..field import fr, oracle
 from ..field.constants import NUM_LIMBS, R_MOD
 from ..ntt.ntt import _powers_device, root_of_unity
+import functools
+
 from ..pcs import make_pcs
 from ..pcs.two_adic_fri import (  # noqa: F401  (re-exported for dist/debug)
     VerificationError,
+    _fused,
     _interpolate_host,
+    _mont_scalar,
     default_host_tail,
 )
+
+
+@functools.partial(jax.jit, static_argnames=("air", "n", "shift", "n_chunks"))
+def _quotient_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks):
+    """Whole quotient evaluation as ONE program (challenges as (16,)
+    Montgomery device scalars so no per-proof retrace; LineaAir is frozen
+    and rides as a jit static)."""
+    return compute_quotient(
+        trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks
+    )
 from ..utils.timing import span
 from .proof import Proof
 
@@ -251,10 +265,17 @@ def prove(
     # --- quotient ----------------------------------------------------------
     n_chunks = quotient_chunk_count(config, air)
     with span("compute quotient polynomial", dims=f"{n_chunks}x{n}"):
-        chunks = compute_quotient(
-            trace_data.lde, air, alpha, delta, gamma, n, config.coset_shift,
-            n_chunks=n_chunks,
-        )
+        if _fused():
+            chunks = _quotient_jit(
+                trace_data.lde, air,
+                _mont_scalar(alpha), _mont_scalar(delta), _mont_scalar(gamma),
+                n, config.coset_shift, n_chunks,
+            )
+        else:
+            chunks = compute_quotient(
+                trace_data.lde, air, alpha, delta, gamma, n,
+                config.coset_shift, n_chunks=n_chunks,
+            )
 
     with span("commit quotient chunks"):
         quotient_root, quot_data = pcs.commit_quotient(chunks)
