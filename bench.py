@@ -123,7 +123,7 @@ def kernel_microbench():
     out["ntt_gbutterflies_s"] = round(btf_s / 1e9, 2)
     out["ntt_pct_sol"] = round(100 * btf_s / sol_b, 1)
     print(
-        f"NTT kernel: 2^22-point transform {dt*1e3:.1f}ms = "
+        f"NTT kernel: 8x2^{m.bit_length()-1}-point batch {dt*1e3:.1f}ms = "
         f"{btf_s/1e9:.2f}G butterflies/s/chip "
         f"({out['ntt_pct_sol']}% of VPU model SoL {sol_b/1e9:.2f}G)",
         file=sys.stderr,

@@ -194,13 +194,15 @@ def _doubling_scan(x: jax.Array, op: str, reverse: bool) -> jax.Array:
 
 
 def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
-    """Inclusive prefix (or suffix) product along the last axis."""
+    """Inclusive prefix (or suffix) product along the last axis.
+
+    The unrolled doubling form (static slice+concat shifts) is used on the
+    Pallas path BOTH eagerly and under jit: the lax.scan formulation's
+    shift-by-k is a gather, and a 2^23-lane gather per doubling step made
+    the fused open/quotient programs ~10x slower than their eager chains
+    (round-4 regression).  The scan form remains the off-TPU default for
+    XLA-CPU compile leanness."""
     if use_pallas():
-        if isinstance(x, jax.core.Tracer):
-            # Inside a jitted phase: one lax.scan over doubling offsets with
-            # a single Pallas multiply in the body — one compiled body, no
-            # per-step program.
-            return fr.prefix_scan(x, "mul", reverse, combine=mul)
         return _doubling_scan(x, "mul", reverse)
     return fr.prefix_scan(x, "mul", reverse)
 
@@ -208,8 +210,6 @@ def prefix_product(x: jax.Array, reverse: bool = False) -> jax.Array:
 def prefix_sum(x: jax.Array, reverse: bool = False) -> jax.Array:
     """Inclusive prefix (or suffix) sum along the last axis."""
     if use_pallas():
-        if isinstance(x, jax.core.Tracer):
-            return fr.prefix_scan(x, "add", reverse, combine=add)
         return _doubling_scan(x, "add", reverse)
     return fr.prefix_scan(x, "add", reverse)
 

@@ -202,6 +202,29 @@ def _fused_single_levels(d: jax.Array, params):
     return tuple(sweeps), tuple(ups)
 
 
+def assemble_fused_levels(d: jax.Array, sweeps, ups, params) -> tuple:
+    """Host assembly of :func:`_fused_single_levels` output into the full
+    level list: appends the host finish and truncates the padded-subtree
+    levels to the real tree's depth.  Returns (levels, br_start)."""
+    from ..kernels import pallas_poseidon2 as pk
+
+    max_h = d.shape[-1]
+    levels = [d] + list(sweeps)
+    br_start = None
+    if ups:
+        all_ups = list(ups) + pk.host_subtree_finish(
+            ups[-1][:, : pk._SUBTREE_HOST], params
+        )
+        # The padded subtree always produces log2(TREE_SWEEP_SIZE) levels;
+        # only the first log2(actual layer size) are levels of the REAL
+        # tree (its root sits at position 0 there) — matching the
+        # pre-fusion convention so root_int/open_batch work as-is.
+        size_end = min(max_h, TREE_SWEEP_SIZE)
+        br_start = len(levels)
+        levels.extend(all_ups[: size_end.bit_length() - 1])
+    return levels, br_start
+
+
 def build_levels_single(d: jax.Array, h) -> tuple:
     """All digest levels above a (16, N) leaf layer.  Returns
     (levels, br_start) — levels[0] is the leaf layer; levels at index >=
@@ -209,22 +232,8 @@ def build_levels_single(d: jax.Array, h) -> tuple:
     max_h = d.shape[-1]
     br_start = None
     if _fused_ok(h) and max_h > 1:
-        from ..kernels import pallas_poseidon2 as pk
-
         sweeps, ups = _fused_single_levels(d, h.params)
-        levels = [d] + list(sweeps)
-        if ups:
-            all_ups = list(ups) + pk.host_subtree_finish(
-                ups[-1][:, : pk._SUBTREE_HOST], h.params
-            )
-            # The padded subtree always produces log2(TREE_SWEEP_SIZE)
-            # levels; only the first log2(actual layer size) are levels of
-            # the REAL tree (its root sits at position 0 there) — matching
-            # the pre-fusion convention so root_int/open_batch work as-is.
-            size_end = min(max_h, TREE_SWEEP_SIZE)
-            br_start = len(levels)
-            levels.extend(all_ups[: size_end.bit_length() - 1])
-        return levels, br_start
+        return assemble_fused_levels(d, sweeps, ups, h.params)
     if not use_pallas():
         if max_h >= 4:
             return [d] + _scan_tree_levels(d, h), None

@@ -175,6 +175,21 @@ def _reduce_fused(trace_lde, chunk_stack, di, kpow, gconsts):
     return f0
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _fri_level_jit(f, beta, inv2x, params):
+    """One whole FRI level — fold + halves-leaf hash + every device tree
+    level — as ONE compiled program (per codeword size, persistent-cached).
+    Returns (folded, leaf_digests, sweep_levels, subtree_levels)."""
+    from ..fri.fold import _fold_jit
+    from ..kernels import pallas_poseidon2 as pk
+
+    folded = _fold_jit(f, beta, inv2x)
+    half = folded.shape[-1] // 2
+    d = pk.compress(folded[:, :half], folded[:, half:], params)
+    sweeps, ups = mmcs._fused_single_levels(d, params)
+    return folded, d, sweeps, ups
+
+
 def _bitrev_int(x: int, bits: int) -> int:
     r = 0
     for _ in range(bits):
@@ -440,12 +455,38 @@ class TwoAdicFriPcs:
 
         commit_span = span("commit phase (fold+commit per level)")
         commit_span.__enter__()
+        from ..fri.fold import _inv2x_table
+
+        fused_levels = _fused() and isinstance(self.hasher, Poseidon2Hasher)
         while size > final_size:
             beta = challenger.sample()
             betas.append(beta)
             if f_host is None and size <= 2 * self.host_tail:
                 f_host = tail.from_device(f)
             will_commit = size // 2 > final_size
+            if f_host is None and fused_levels and will_commit:
+                # fold + leaf hash + whole tree, one program per level size
+                f, d, sweeps, ups = _fri_level_jit(
+                    f, _mont_scalar(beta),
+                    _inv2x_table(cur_shift, cur_omega, size // 2),
+                    self.hasher.params,
+                )
+                size //= 2
+                cur_shift = (cur_shift * cur_shift) % R_MOD
+                cur_omega = (cur_omega * cur_omega) % R_MOD
+                levels, br_start = mmcs.assemble_fused_levels(
+                    d, sweeps, ups, self.hasher.params
+                )
+                # halves matrix of the folded codeword is a free reshape
+                halves = f.reshape(NUM_LIMBS, 2, size // 2)
+                t = mmcs.MerkleTree(
+                    [halves], [0], levels, self.hasher, br_start
+                )
+                root = t.root_int()
+                fold_trees.append(t)
+                fold_roots.append(root)
+                challenger.observe(root)
+                continue
             if f_host is None:
                 f = fold_codeword(f, beta, cur_shift, cur_omega)
             else:
