@@ -213,7 +213,8 @@ def main() -> int:
             # actually performed is the witness's batch count rounded up.
             from linea_stark_tpu.fri.grind import DEFAULT_BATCH
 
-            batches = proof.fri.pow_witness // DEFAULT_BATCH + 1
+            # +2: the pipelined grind keeps one extra batch in flight
+            batches = proof.fri.pow_witness // DEFAULT_BATCH + 2
             perms = batches * DEFAULT_BATCH
             print(
                 f"PoW grind: {pow_bits} bits, witness {proof.fri.pow_witness}, "

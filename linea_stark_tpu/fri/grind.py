@@ -16,16 +16,19 @@ permutation regardless of transcript length.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..backend import use_pallas
-from ..field import fr, oracle
-from ..field.constants import NUM_LIMBS, R_MOD
+from ..field import fr
+from ..field.constants import NUM_LIMBS, to_limbs
 from ..hash import poseidon2 as p2
 
 U32 = jnp.uint32
-DEFAULT_BATCH = 1 << 21
+DEFAULT_BATCH = 1 << 22
 
 
 def _prefix_state(buf: list, params: p2.Poseidon2Params) -> tuple:
@@ -39,16 +42,6 @@ def _prefix_state(buf: list, params: p2.Poseidon2Params) -> tuple:
         state = p2.permute_ints(state, params)
     partner = buf[n_full] if len(buf) % 2 else None
     return state, partner
-
-
-def _candidates_mont(start: int, batch: int):
-    """(16, batch) Montgomery limbs of the integers [start, start+batch)."""
-    from .. import fr_ops as fo
-
-    w = jnp.arange(start, start + batch, dtype=jnp.uint32)
-    limbs = [w & U32(0xFFFF), w >> 16] + [jnp.zeros_like(w)] * (NUM_LIMBS - 2)
-    # start + batch stays far below r, so raw limbs are canonical.
-    return fo.to_mont(jnp.stack(limbs, axis=0))
 
 
 def grind(challenger, bits: int, batch: int = DEFAULT_BATCH) -> int:
@@ -67,42 +60,74 @@ def grind(challenger, bits: int, batch: int = DEFAULT_BATCH) -> int:
     params = challenger.params
     buf = list(challenger.input_buffer)
     state, partner = _prefix_state(buf, params)
-    mask = (1 << bits) - 1
 
-    def mont_full(v: int, shape):
-        return fr.full(shape, v)
+    def _scalar(v: int):
+        return jnp.asarray(fr.pack_ints([v]))[:, 0]
 
+    f0 = _scalar(partner if partner is not None else 0)
+    f1 = _scalar(state[1])
+    f2 = _scalar(state[2])
+
+    # Two batches stay in flight: the next batch's single fused dispatch is
+    # issued before the previous result is fetched, so the remote round trip
+    # overlaps device compute (the serial fetch-per-batch loop ran at 40% of
+    # the raw permutation rate).
     start = 0
+    pending = []
     while True:
-        wv = _candidates_mont(start, batch)
-        shape = (batch,)
-        if partner is None:
-            s0 = wv
-            s1 = mont_full(state[1], shape)
-        else:
-            s0 = mont_full(partner, shape)
-            s1 = wv
-        s2 = mont_full(state[2], shape)
-        if use_pallas():
-            from ..kernels import pallas_poseidon2 as pk
-
-            d0, _, _ = pk.permute(s0, s1, s2, params)
-        else:  # pragma: no cover - exercised via host fallback above
-            d0, _, _ = p2.permute(s0, s1, s2, params)
-        canon = fr.from_mont(d0)
-        low = canon[0].astype(jnp.uint32) | (canon[1].astype(jnp.uint32) << 16)
-        if bits <= 32:
-            ok = (low & U32(mask)) == 0
-        else:
-            hi = canon[2].astype(jnp.uint32) | (canon[3].astype(jnp.uint32) << 16)
-            ok = ((low & U32(mask & 0xFFFFFFFF)) == 0) & (
-                (hi & U32(mask >> 32)) == 0
+        while len(pending) < 2 and start < 1 << 32:
+            pending.append(
+                (
+                    start,
+                    _grind_step(
+                        jnp.uint32(start), f0, f1, f2, params, bits, batch,
+                        partner is not None,
+                    ),
+                )
             )
-        hits = np.asarray(jnp.nonzero(ok, size=1, fill_value=batch)[0])
-        if hits[0] < batch:
-            w = start + int(hits[0])
+            start += batch
+        if not pending:  # pragma: no cover
+            raise RuntimeError("grind failed (witness space exhausted)")
+        base, idx_dev = pending.pop(0)
+        hit = int(np.asarray(idx_dev))
+        if hit < batch:
+            w = base + hit
             assert challenger.check_witness(bits, w), "grind winner re-check"
             return w
-        start += batch
-        if start >= 1 << 48:  # pragma: no cover
-            raise RuntimeError("grind failed")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "bits", "batch", "has_partner")
+)
+def _grind_step(start, f0, f1, f2, params, bits, batch, has_partner):
+    """One candidate batch — Montgomery lift, permutation, bit test, hit
+    index — as a single program.  ``start`` rides as a device scalar so
+    every batch reuses one compiled executable."""
+    from .. import fr_ops as fo
+    from ..kernels import pallas_field as pf
+    from ..kernels import pallas_poseidon2 as pk
+
+    w = jnp.arange(batch, dtype=U32) + start
+    limbs = [w & U32(0xFFFF), w >> 16] + [jnp.zeros_like(w)] * (NUM_LIMBS - 2)
+    wv = fo.to_mont(jnp.stack(limbs, axis=0))
+
+    def bc(s):
+        return jnp.broadcast_to(s[:, None], (NUM_LIMBS, batch))
+
+    if has_partner:
+        s0, s1 = bc(f0), wv
+    else:
+        s0, s1 = wv, bc(f1)
+    d0, _, _ = pk.permute(s0, s1, bc(f2), params)
+    # from-Montgomery = one multiply by raw 1 (mul_const would shortcut)
+    canon = pf.mul_scalar(d0, jnp.asarray(to_limbs(1)))
+    mask = (1 << bits) - 1
+    low = canon[0].astype(U32) | (canon[1].astype(U32) << 16)
+    if bits <= 32:
+        ok = (low & U32(mask)) == 0
+    else:
+        hi = canon[2].astype(U32) | (canon[3].astype(U32) << 16)
+        ok = ((low & U32(mask & 0xFFFFFFFF)) == 0) & (
+            (hi & U32(mask >> 32)) == 0
+        )
+    return jnp.nonzero(ok, size=1, fill_value=batch)[0][0]

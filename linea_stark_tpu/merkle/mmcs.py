@@ -364,19 +364,23 @@ import functools
 def _gather_batch(mats, midx, lvls, lidx):
     """All row + sibling gathers of a whole opening batch in ONE dispatch.
 
-    mats: tuple of (16, W_k, N_k); midx: matching (Q,) index tuples;
-    lvls: tuple of (16, n) digest levels; lidx: matching (Q,) index tuples
-    (all index vectors padded to one common Q).  Returns
-    (16, ΣW, Q) concatenated rows and (16, L, Q) stacked siblings — the
-    remote-TPU dispatch latency made per-level/per-tree gathers the dominant
-    cost of the FRI query phase."""
+    mats: tuple of (16, W_k, N_k); midx: ONE (n_mats, Q) index matrix;
+    lvls: tuple of (16, n) digest levels; lidx: ONE (n_lvls, Q) index
+    matrix (index vectors padded to one common Q, stacked host-side — a
+    separate host->device transfer per level was ~190 tiny uploads per
+    query phase).  Returns (16, ΣW, Q) concatenated rows and (16, L, Q)
+    stacked siblings."""
     rows = (
-        jnp.concatenate([jnp.take(m, i, axis=-1) for m, i in zip(mats, midx)], axis=1)
+        jnp.concatenate(
+            [jnp.take(m, midx[k], axis=-1) for k, m in enumerate(mats)], axis=1
+        )
         if mats
-        else jnp.zeros((16, 0, midx[0].shape[0] if midx else 0), jnp.uint32)
+        else jnp.zeros((16, 0, midx.shape[-1]), jnp.uint32)
     )
     sibs = (
-        jnp.stack([jnp.take(l, i, axis=-1) for l, i in zip(lvls, lidx)], axis=1)
+        jnp.stack(
+            [jnp.take(l, lidx[k], axis=-1) for k, l in enumerate(lvls)], axis=1
+        )
         if lvls
         else jnp.zeros((16, 0, 0), jnp.uint32)
     )
@@ -404,7 +408,7 @@ def open_batch(requests) -> list:
             ridx = idx_np >> shift
             if tree.row_perm is not None:
                 ridx = tree.row_perm[ridx]
-            midx.append(jnp.asarray(ridx.astype(np.int32)))
+            midx.append(ridx.astype(np.int32))
         s_slots = []
         cur = idx_np.copy()
         for lvl in range(log_max):
@@ -413,11 +417,16 @@ def open_batch(requests) -> list:
                 s = _bitrev_table(tree.levels[lvl].shape[-1])[s]
             s_slots.append(len(lvls))
             lvls.append(tree.levels[lvl])
-            lidx.append(jnp.asarray(s.astype(np.int32)))
+            lidx.append(s.astype(np.int32))
             cur >>= 1
         meta.append((list(indices), m_slots, s_slots))
 
-    rows_all, sibs_all = _gather_batch(tuple(mats), tuple(midx), tuple(lvls), tuple(lidx))
+    rows_all, sibs_all = _gather_batch(
+        tuple(mats),
+        jnp.asarray(np.stack(midx)) if midx else jnp.zeros((0, q_max), jnp.int32),
+        tuple(lvls),
+        jnp.asarray(np.stack(lidx)) if lidx else jnp.zeros((0, q_max), jnp.int32),
+    )
     rows_np, sibs_np = fetch_global(rows_all), fetch_global(sibs_all)
     rows_ints = fr.unpack_ints(rows_np) if rows_np.size else []
     sibs_ints = fr.unpack_ints(sibs_np) if sibs_np.size else []

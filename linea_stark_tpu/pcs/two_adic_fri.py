@@ -59,6 +59,10 @@ def _fused() -> bool:
     return use_pallas() and os.environ.get("LINEA_FUSED", "1") != "0"
 
 
+# Max columns per fused-LDE program (peak-HBM bound, see commit_trace).
+_LDE_GROUP = 8
+
+
 @functools.partial(jax.jit, static_argnames=("log_blowup", "shift"))
 def _coset_lde_jit(x, log_blowup: int, shift: int):
     return coset_lde(x, log_blowup, shift)
@@ -233,7 +237,27 @@ class TwoAdicFriPcs:
         (bench.log:20) + Merkle commit (bench.log:19)."""
         with span("coset_lde_batch"):
             if _fused():
-                lde = _coset_lde_jit(trace, self.fri.log_blowup, self.shift)
+                # Column groups bound the fused program's peak HBM: one
+                # program transforming 14 columns at 2^22 exhausted the
+                # chip (stage buffers alias within a single program, but
+                # the peak still scales with the batch width).
+                w = trace.shape[1]
+                # shrink the group at very tall domains (2^24-point LDEs
+                # leave no headroom for 8-wide stage buffers)
+                n_lde = trace.shape[-1] << self.fri.log_blowup
+                group = max(1, min(_LDE_GROUP, (1 << 25) // n_lde))
+                if w <= group:
+                    lde = _coset_lde_jit(trace, self.fri.log_blowup, self.shift)
+                else:
+                    parts = [
+                        _coset_lde_jit(
+                            trace[:, i : i + group],
+                            self.fri.log_blowup,
+                            self.shift,
+                        )
+                        for i in range(0, w, group)
+                    ]
+                    lde = jnp.concatenate(parts, axis=1)
             else:
                 lde = coset_lde(trace, self.fri.log_blowup, self.shift)
         with span("merkle commit"):
