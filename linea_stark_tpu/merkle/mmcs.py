@@ -40,6 +40,7 @@ from ..field.constants import NUM_LIMBS
 from ..hash import poseidon2 as p2
 from ..hash.hasher import make_hasher
 from ..utils import fetch_global
+from ..utils.export_cache import export_cached_jit
 
 HOST_TREE_THRESHOLD = 256
 # Digest-layer size at/below which the whole remaining subtree builds in one
@@ -153,8 +154,7 @@ def _fused_ok(h) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _fused_single_levels(d: jax.Array, params):
+def _fused_single_levels_impl(d: jax.Array, params):
     """Every device tree level above a (16, N) digest layer in ONE compiled
     program: the exact-size halving sweeps down to TREE_SWEEP_SIZE plus the
     whole bit-reversed subtree chain down to the host-finish threshold.
@@ -223,6 +223,11 @@ def assemble_fused_levels(d: jax.Array, sweeps, ups, params) -> tuple:
         br_start = len(levels)
         levels.extend(all_ups[: size_end.bit_length() - 1])
     return levels, br_start
+
+
+_fused_single_levels = export_cached_jit(
+    name="tree_levels", static_argnames=("params",)
+)(_fused_single_levels_impl)
 
 
 def build_levels_single(d: jax.Array, h) -> tuple:

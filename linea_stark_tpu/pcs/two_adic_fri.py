@@ -35,6 +35,7 @@ from ..merkle import mmcs
 from ..merkle.mmcs import _bitrev_device, _bitrev_table
 from ..ntt import coset_lde, ntt
 from ..ntt.ntt import _coset_scale, _powers_device, pad_coeffs, root_of_unity
+from ..utils.export_cache import export_cached_jit
 from ..utils.timing import span
 
 # Proof containers are imported lazily inside the methods that build them:
@@ -63,12 +64,13 @@ def _fused() -> bool:
 _LDE_GROUP = 8
 
 
-@functools.partial(jax.jit, static_argnames=("log_blowup", "shift"))
+@export_cached_jit(name="coset_lde", static_argnames=("log_blowup", "shift"))
 def _coset_lde_jit(x, log_blowup: int, shift: int):
     return coset_lde(x, log_blowup, shift)
 
 
-@functools.partial(jax.jit, static_argnames=("log_blowup", "shift", "omega_lde"))
+@export_cached_jit(name="chunk_ldes",
+                   static_argnames=("log_blowup", "shift", "omega_lde"))
 def _chunk_ldes_jit(chunks, log_blowup: int, shift: int, omega_lde: int):
     return _chunk_ldes_impl(chunks, log_blowup, shift, omega_lde)
 
@@ -114,7 +116,7 @@ def _mont_scalar(v_int: int) -> jax.Array:
     return jnp.asarray(fr.pack_ints([v_int]))[:, 0]
 
 
-@jax.jit
+@export_cached_jit(name="open_values")
 def _open_values_jit(trace_lde, chunk_stack, zeta_s, zeta_next_s, x_vec):
     """Inverse denominators + barycentric block partials, ONE program.
 
@@ -157,7 +159,7 @@ def _finish_opened(partials, z: int, n: int, shift: int) -> list:
     return out
 
 
-@jax.jit
+@export_cached_jit(name="open_reduce")
 def _reduce_fused(trace_lde, chunk_stack, di, kpow, gconsts):
     """Reduced codeword f0 = Σ_g dinv_g·(Σ_c α'^{k}·col − Σ_c α'^{k}·y_c)
     in ONE program.  kpow: (16, K) Montgomery α'-power scalars in column
@@ -179,7 +181,7 @@ def _reduce_fused(trace_lde, chunk_stack, di, kpow, gconsts):
     return f0
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@export_cached_jit(name="fri_level", static_argnames=("params",))
 def _fri_level_jit(f, beta, inv2x, params):
     """One whole FRI level — fold + halves-leaf hash + every device tree
     level — as ONE compiled program (per codeword size, persistent-cached).
@@ -190,7 +192,7 @@ def _fri_level_jit(f, beta, inv2x, params):
     folded = _fold_jit(f, beta, inv2x)
     half = folded.shape[-1] // 2
     d = pk.compress(folded[:, :half], folded[:, half:], params)
-    sweeps, ups = mmcs._fused_single_levels(d, params)
+    sweeps, ups = mmcs._fused_single_levels_impl(d, params)
     return folded, d, sweeps, ups
 
 

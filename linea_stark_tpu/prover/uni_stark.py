@@ -66,8 +66,13 @@ from ..pcs.two_adic_fri import (  # noqa: F401  (re-exported for dist/debug)
     default_host_tail,
 )
 
+from ..utils.export_cache import export_cached_jit
+from ..utils.timing import span
+from .proof import Proof
 
-@functools.partial(jax.jit, static_argnames=("air", "n", "shift", "n_chunks"))
+
+@export_cached_jit(name="quotient",
+                   static_argnames=("air", "n", "shift", "n_chunks"))
 def _quotient_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks):
     """Whole quotient evaluation as ONE program (challenges as (16,)
     Montgomery device scalars so no per-proof retrace; LineaAir is frozen
@@ -75,8 +80,6 @@ def _quotient_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks)
     return compute_quotient(
         trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks
     )
-from ..utils.timing import span
-from .proof import Proof
 
 
 def _selector_factors(sel: Sel, zeta: int, n: int, z_h: int, omega_n: int) -> int:

@@ -1,0 +1,130 @@
+"""Disk cache of lowered (exported) programs: skip tracing on warm starts.
+
+The persistent XLA compile cache stores backend *executables*, but every
+process still pays tracing + lowering of each fused program — minutes of
+2-CPU host time for the big limb graphs (BENCH_MATRIX.md cold-start
+anatomy).  This wraps ``jax.jit`` with a second cache layer: the first run
+of a (function, statics, arg-shapes) combination exports the lowered
+StableHLO module to disk (``jax.export``); later processes deserialize and
+call it directly — the backend compile inside ``.call`` then hits the
+XLA persistent cache.
+
+Safety: the cache key includes a digest of every ``linea_stark_tpu`` source
+file, so ANY code change invalidates ALL exported modules (a stale lowered
+module would silently run old code).  Any failure to export/deserialize
+falls back to the plain jitted path.  Opt out with LINEA_EXPORT_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import inspect
+import os
+
+import jax
+
+_SRC_DIGEST = None
+
+
+def _src_digest() -> str:
+    """Digest of the package sources (cheap: ~0.3 MB read once)."""
+    global _SRC_DIGEST
+    if _SRC_DIGEST is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    h.update(p.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _SRC_DIGEST = h.hexdigest()[:16]
+    return _SRC_DIGEST
+
+
+def _enabled() -> bool:
+    if os.environ.get("LINEA_EXPORT_CACHE", "1") == "0":
+        return False
+    # lowered modules are platform-pinned; only worth it on the TPU path
+    from ..backend import use_pallas
+
+    return use_pallas()
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("LINEA_EXPORT_DIR") or os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".jax_cache_tpu",
+        "exported",
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def export_cached_jit(*, name: str, static_argnames=(), donate_argnums=()):
+    """Decorator: ``jax.jit`` plus a disk cache of the exported module.
+
+    Off-TPU (or on any error) it behaves exactly like
+    ``jax.jit(fn, static_argnames=...)``.
+    """
+    static_argnames = tuple(static_argnames)
+
+    def deco(fn):
+        jitted = jax.jit(
+            fn, static_argnames=static_argnames, donate_argnums=donate_argnums
+        )
+        sig = inspect.signature(fn)
+        arg_names = [k for k in sig.parameters if k not in static_argnames]
+        mem: dict = {}
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if not _enabled():
+                return jitted(*args, **kwargs)
+            try:
+                bound = sig.bind(*args, **kwargs)
+                bound.apply_defaults()
+                statics = tuple(
+                    (k, bound.arguments[k]) for k in static_argnames
+                )
+                arrs = [bound.arguments[k] for k in arg_names]
+                key = (
+                    statics,
+                    tuple((v.shape, str(v.dtype)) for v in arrs),
+                )
+                ex = mem.get(key)
+                if ex is None:
+                    digest = hashlib.sha256(
+                        repr((name, key, _src_digest())).encode()
+                    ).hexdigest()[:24]
+                    path = os.path.join(_cache_dir(), f"{name}-{digest}.jaxexp")
+                    if os.path.exists(path):
+                        with open(path, "rb") as fh:
+                            ex = jax.export.deserialize(fh.read())
+                    else:
+                        skw = dict(statics)
+
+                        def closed(*a):
+                            kw = dict(zip(arg_names, a))
+                            kw.update(skw)
+                            return fn(**kw)
+
+                        ex = jax.export.export(jax.jit(closed))(*arrs)
+                        tmp = path + f".tmp{os.getpid()}"
+                        with open(tmp, "wb") as fh:
+                            fh.write(ex.serialize())
+                        os.replace(tmp, path)
+                    mem[key] = ex
+                return ex.call(*arrs)
+            except Exception:
+                # never let the cache layer break a prove
+                return jitted(*args, **kwargs)
+
+        wrapper._jitted = jitted
+        return wrapper
+
+    return deco
