@@ -139,6 +139,7 @@ def main() -> int:
     log_blowup = int(os.environ.get("BENCH_LOG_BLOWUP", "3"))
     workload = os.environ.get("BENCH_WORKLOAD", "perm")  # perm | lookup
     hasher = os.environ.get("BENCH_HASHER", "poseidon2")  # poseidon2 | keccak
+    transcript = os.environ.get("BENCH_TRANSCRIPT", "native")  # native | p3
     height = 1 << log_h
 
     from linea_stark_tpu.challenger import HashChallenger
@@ -161,12 +162,13 @@ def main() -> int:
         fri=FriConfig(log_blowup=log_blowup, log_final_poly_len=0,
                       num_queries=queries, proof_of_work_bits=pow_bits),
         hasher=hasher,
+        transcript=transcript,
     )
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     print(
         f"workload: {width}x{width} x 2^{log_h} {workload} AIR "
-        f"(blowup 2^{log_blowup}, {hasher})",
+        f"(blowup 2^{log_blowup}, {hasher}, {transcript} transcript)",
         file=sys.stderr,
     )
 
@@ -224,6 +226,8 @@ def main() -> int:
             )
 
     wl = "permutation" if workload == "perm" else workload
+    if transcript != "native":
+        wl = f"{wl}_{transcript}"
     print(json.dumps({
         "metric": f"prove_{wl}_{width}x{width}_2^{log_h}",
         "value": round(prove_s, 3),

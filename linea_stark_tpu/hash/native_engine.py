@@ -69,6 +69,11 @@ def _load():
         ("p2_merkle_roots",
          [_U64P, ctypes.c_int, ctypes.c_int, _U64P, _U64P, _U64P, _U32P,
           ctypes.c_size_t, ctypes.c_size_t]),
+        ("kc_hash_columns", [_U64P, ctypes.c_size_t, ctypes.c_size_t, _U64P]),
+        ("kc_compress_batch", [_U64P, _U64P, _U64P, ctypes.c_size_t]),
+        ("kc_tree_levels", [_U64P, ctypes.c_size_t, _U64P]),
+        ("kc_merkle_roots",
+         [_U64P, _U64P, _U64P, _U32P, ctypes.c_size_t, ctypes.c_size_t]),
     ):
         getattr(lib, name).argtypes = argtypes
     _LIB = lib
@@ -290,6 +295,63 @@ def tree_levels(leaves: np.ndarray, params: Poseidon2Params) -> list:
         levels.append(packed[off : off + size])
         off += size
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Keccak-256 sweeps (field-element digests; hash/keccak.py semantics)
+# ---------------------------------------------------------------------------
+
+def kc_hash_columns(cols: np.ndarray) -> np.ndarray:
+    """cols: (w, n, 4) canonical -> (n, 4) keccak field digests."""
+    lib = _load()
+    w, n = cols.shape[0], cols.shape[1]
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.kc_hash_columns(_ptr(np.ascontiguousarray(cols)), w, n, _ptr(out))
+    return out
+
+
+def kc_compress(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    out = np.empty_like(a)
+    lib.kc_compress_batch(
+        _ptr(np.ascontiguousarray(a)), _ptr(np.ascontiguousarray(b)),
+        _ptr(out), a.shape[0],
+    )
+    return out
+
+
+def kc_tree_levels(leaves: np.ndarray) -> list:
+    """All digest levels above (n, 4) leaves -> [(n/2, 4), ..., (1, 4)]."""
+    lib = _load()
+    n = leaves.shape[0]
+    packed = np.empty((n - 1, 4), dtype=np.uint64)
+    lib.kc_tree_levels(_ptr(np.ascontiguousarray(leaves)), n, _ptr(packed))
+    levels = []
+    off, size = 0, n
+    while size > 1:
+        size //= 2
+        levels.append(packed[off : off + size])
+        off += size
+    return levels
+
+
+def kc_merkle_roots(
+    digests: np.ndarray,
+    sibs: np.ndarray,
+    parity_mask: np.ndarray,
+    lens: np.ndarray,
+) -> np.ndarray:
+    """Keccak twin of :func:`merkle_roots` (same ABI minus constants)."""
+    lib = _load()
+    d = np.ascontiguousarray(digests).copy()
+    q, max_len = sibs.shape[0], sibs.shape[1]
+    lib.kc_merkle_roots(
+        _ptr(d), _ptr(np.ascontiguousarray(sibs)),
+        _ptr(np.ascontiguousarray(parity_mask)),
+        np.ascontiguousarray(lens, dtype=np.uint32).ctypes.data_as(_U32P),
+        max_len, q,
+    )
+    return d
 
 
 def merkle_roots(

@@ -191,11 +191,10 @@ def permute(s0, s1, s2, params: Poseidon2Params = DEFAULT_PARAMS, tile: int = DE
     n = s0.shape[-1]
     n_pad = _canon(n)
     o0, o1, o2 = _permute_call(
-        _pad_lanes(s0, n_pad), _pad_lanes(s1, n_pad), _pad_lanes(s2, n_pad),
-        params, tile,
+        *_pad_many((s0, s1, s2), n_pad), params, tile
     )
     if n_pad != n:
-        return o0[..., :n], o1[..., :n], o2[..., :n]
+        return _slice_many_jit((o0, o1, o2), n)
     return o0, o1, o2
 
 
@@ -277,6 +276,25 @@ def _pad_lanes(x: jax.Array, n_pad: int) -> jax.Array:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _pad_many_jit(xs: tuple, n_pad: int) -> tuple:
+    """Pad several arrays to n_pad lanes in ONE dispatch (each eager pad on
+    the remote path costs a full dispatch round trip; round-3 ADVICE #2)."""
+    return tuple(_pad_lanes(x, n_pad) for x in xs)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _slice_many_jit(xs: tuple, n: int) -> tuple:
+    """Slice several arrays back to n lanes in ONE dispatch."""
+    return tuple(x[..., :n] for x in xs)
+
+
+def _pad_many(xs: tuple, n_pad: int) -> tuple:
+    if xs and xs[0].shape[-1] == n_pad:
+        return xs
+    return _pad_many_jit(xs, n_pad)
+
+
 def _canon(n: int) -> int:
     """Padded size: everything at/below MIN_LANES shares one program."""
     return max(n, MIN_LANES) if not _interpret() else n
@@ -292,10 +310,10 @@ def permute2(left, right, params: Poseidon2Params = DEFAULT_PARAMS,
     n = left.shape[-1]
     n_pad = _canon(n)
     o0, o1, o2 = _permute2_call(
-        _pad_lanes(left, n_pad), _pad_lanes(right, n_pad), params, tile
+        *_pad_many((left, right), n_pad), params, tile
     )
     if n_pad != n:
-        return o0[..., :n], o1[..., :n], o2[..., :n]
+        return _slice_many_jit((o0, o1, o2), n)
     return o0, o1, o2
 
 
@@ -329,7 +347,7 @@ def hash_columns_list(cols, params: Poseidon2Params = DEFAULT_PARAMS,
     assert w >= 1
     n = cols[0].shape[-1]
     n_pad = _canon(n)
-    pc = [_pad_lanes(c, n_pad) for c in cols]
+    pc = list(_pad_many(tuple(cols), n_pad))
     if w == 1:
         z = jnp.zeros_like(pc[0])
         s0 = _permute2_call(pc[0], z, params, tile)[0]

@@ -288,10 +288,21 @@ def build_levels_single(d: jax.Array, h) -> tuple:
     elif size > 1:
         # Hasher without a subtree kernel (Keccak): halving sweeps +
         # host finish for the tiny top.
+        from ..hash import native_engine as ne
+        from ..hash.hasher import KeccakHasher
+
         while size > HOST_TREE_THRESHOLD and size > 1:
             size //= 2
             d = h.compress(d[..., 0::2], d[..., 1::2])
             levels.append(d)
+        if size > 1 and isinstance(h, KeccakHasher) and ne.available():
+            # native Keccak top finish (one C call for all levels)
+            leaves = ne.from_mont(ne.planes_to_u64(np.asarray(d)))
+            for l in ne.kc_tree_levels(leaves):
+                levels.append(
+                    jnp.asarray(ne.u64_to_planes(ne.to_mont(l)))
+                )
+            size = 1
         if size > 1:
             vals = fr.unpack_ints(np.asarray(d))
             while size > 1:
@@ -485,8 +496,12 @@ def verify_openings_batch(requests, hasher=None) -> bool:
     h = make_hasher(hasher if hasher is not None else p2.DEFAULT_PARAMS)
     if not requests:
         return True
-    if not isinstance(h, Poseidon2Hasher):  # Keccak etc.: scalar fallback
-        return all(
+    if not isinstance(h, Poseidon2Hasher):
+        from ..hash.hasher import KeccakHasher
+
+        if isinstance(h, KeccakHasher) and ne.available():
+            return _verify_openings_native(requests, None)
+        return all(  # unknown hasher: scalar fallback
             verify_opening(root, [hw], op, h) for root, hw, op in requests
         )
     params = h.params
@@ -534,7 +549,8 @@ def _verify_openings_native(requests, params) -> bool:
     """All leaf hashes + every authentication-path walk in TWO native calls
     (hash/native_engine.py): leaf sponges grouped by row width, then one
     ``p2_merkle_roots`` sweep over all lanes — the whole verifier-side
-    Merkle cost runs at C speed (~10 us per path vs ~4 ms scalar Python)."""
+    Merkle cost runs at C speed (~10 us per path vs ~4 ms scalar Python).
+    ``params=None`` selects the Keccak engine (same structure, kc_* sweeps)."""
     from ..hash import native_engine as ne
 
     q = len(requests)
@@ -553,7 +569,10 @@ def _verify_openings_native(requests, params) -> bool:
                 for c in range(w)
             ]
         )
-        dig[idxs] = ne.hash_columns(cols, params)
+        dig[idxs] = (
+            ne.kc_hash_columns(cols) if params is None
+            else ne.hash_columns(cols, params)
+        )
     max_l = max(len(r[2].siblings) for r in requests)
     sibs = np.zeros((q, max_l, 4), np.uint64)
     mask = np.zeros((q, 4), np.uint64)
@@ -566,7 +585,10 @@ def _verify_openings_native(requests, params) -> bool:
         for l in range(path_len):
             if (op.index >> l) & 1:
                 mask[k, l // 64] |= np.uint64(1) << np.uint64(l % 64)
-    got = ne.u64_to_ints(ne.merkle_roots(dig, sibs, mask, lens, params))
+    got = ne.u64_to_ints(
+        ne.kc_merkle_roots(dig, sibs, mask, lens) if params is None
+        else ne.merkle_roots(dig, sibs, mask, lens, params)
+    )
     return all(g == r for g, (r, _, _) in zip(got, requests))
 
 

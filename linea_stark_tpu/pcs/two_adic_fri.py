@@ -222,10 +222,15 @@ class TwoAdicFriPcs:
     host_tail: int = field(default_factory=default_host_tail)
 
     def __post_init__(self):
-        # The big host tail is a native-Poseidon2 feature; other hashers
-        # (Keccak) fall back to scalar host compression — keep their tail
-        # small enough to stay off the critical path.
-        if not (ne.available() and isinstance(self.hasher, Poseidon2Hasher)):
+        # The big host tail needs native hashing (Poseidon2 or Keccak via
+        # the C engine); anything else compresses scalar on the host — keep
+        # its tail small enough to stay off the critical path.
+        from ..hash.hasher import KeccakHasher
+
+        if not (
+            ne.available()
+            and isinstance(self.hasher, (Poseidon2Hasher, KeccakHasher))
+        ):
             self.host_tail = min(self.host_tail, _FRI_HOST_TAIL_OBJ)
 
     # ------------------------------------------------------------------
@@ -238,34 +243,35 @@ class TwoAdicFriPcs:
         The reference's ``pcs.commit(trace_domain, trace)``: coset LDE
         (bench.log:20) + Merkle commit (bench.log:19)."""
         with span("coset_lde_batch"):
-            if _fused():
-                # Column groups bound the fused program's peak HBM: one
-                # program transforming 14 columns at 2^22 exhausted the
-                # chip (stage buffers alias within a single program, but
-                # the peak still scales with the batch width).
-                w = trace.shape[1]
-                # shrink the group at very tall domains (2^24-point LDEs
-                # leave no headroom for 8-wide stage buffers)
-                n_lde = trace.shape[-1] << self.fri.log_blowup
-                group = max(1, min(_LDE_GROUP, (1 << 25) // n_lde))
-                if w <= group:
-                    lde = _coset_lde_jit(trace, self.fri.log_blowup, self.shift)
-                else:
-                    parts = [
-                        _coset_lde_jit(
-                            trace[:, i : i + group],
-                            self.fri.log_blowup,
-                            self.shift,
-                        )
-                        for i in range(0, w, group)
-                    ]
-                    lde = jnp.concatenate(parts, axis=1)
-            else:
-                lde = coset_lde(trace, self.fri.log_blowup, self.shift)
+            lde = self._lde(trace)
         with span("merkle commit"):
             tree = self._commit_matrix(lde)
             root = tree.root_int()
         return root, PcsData(tree, lde)
+
+    def _lde(self, trace: jax.Array) -> jax.Array:
+        """Coset LDE of the full (16, W, n) trace (override point for the
+        sharded PCS, dist/pcs.py)."""
+        if _fused():
+            # Column groups bound the fused program's peak HBM: one
+            # program transforming 14 columns at 2^22 exhausted the
+            # chip (stage buffers alias within a single program, but
+            # the peak still scales with the batch width).
+            w = trace.shape[1]
+            # shrink the group at very tall domains (2^24-point LDEs
+            # leave no headroom for 8-wide stage buffers)
+            n_lde = trace.shape[-1] << self.fri.log_blowup
+            group = max(1, min(_LDE_GROUP, (1 << 25) // n_lde))
+            if w <= group:
+                return _coset_lde_jit(trace, self.fri.log_blowup, self.shift)
+            parts = [
+                _coset_lde_jit(
+                    trace[:, i : i + group], self.fri.log_blowup, self.shift
+                )
+                for i in range(0, w, group)
+            ]
+            return jnp.concatenate(parts, axis=1)
+        return coset_lde(trace, self.fri.log_blowup, self.shift)
 
     def commit_quotient(self, chunks: jax.Array):
         """Chunk evals on their own cosets -> (root_int, PcsData).
@@ -275,6 +281,7 @@ class TwoAdicFriPcs:
         coset_lde_batch calls of 1×n, bench.log:23-30), then one width-B
         commit — leaf hashes are identical to B width-1 matrices of equal
         height (columns concatenate in order)."""
+        chunks = self._prepare_chunks(chunks)
         n = chunks.shape[-1]
         log_lde = (n.bit_length() - 1) + self.fri.log_blowup
         omega_lde = root_of_unity(log_lde)
@@ -308,6 +315,11 @@ class TwoAdicFriPcs:
             [mat], [0], levels, h, br_start, row_perm=_bitrev_table(n)
         )
 
+    def _prepare_chunks(self, chunks: jax.Array) -> jax.Array:
+        """Hook: placement/sharding of fresh quotient chunks (identity here;
+        the sharded PCS re-anchors them to the row sharding)."""
+        return chunks
+
     def _chunk_ldes_batched(self, chunks: jax.Array, omega_lde: int) -> jax.Array:
         if _fused():
             return _chunk_ldes_jit(
@@ -334,6 +346,88 @@ class TwoAdicFriPcs:
         vals = fo.weighted_sums_to_ints(matrix_lde, u)
         return [oracle.mul(v, const) for v in vals]
 
+    def _open_values(self, trace_lde, chunk_stack, zeta: int, zeta_next: int,
+                     x_vec):
+        """Inverse denominators + barycentric opened values.  Returns
+        (di, trace_at_zeta, trace_at_zeta_next, chunks_at_zeta) where
+        di = (16, 2, n_lde) inverses of (ζ−x, ζ·g−x).  Override point for
+        the sharded PCS."""
+        n_lde = trace_lde.shape[-1]
+        if _fused():
+            with span("compute_inverse_denominators"):
+                di, pa, pb, pc = _open_values_jit(
+                    trace_lde, chunk_stack,
+                    _mont_scalar(zeta), _mont_scalar(zeta_next), x_vec,
+                )
+            with span("opened values (barycentric)"):
+                trace_at_zeta = _finish_opened(pa, zeta, n_lde, self.shift)
+                trace_at_zeta_next = _finish_opened(
+                    pb, zeta_next, n_lde, self.shift
+                )
+                chunks_at_zeta = _finish_opened(pc, zeta, n_lde, self.shift)
+            return di, trace_at_zeta, trace_at_zeta_next, chunks_at_zeta
+        with span("compute_inverse_denominators"):
+            zeta_v = fr.full((n_lde,), zeta)
+            zeta_next_v = fr.full((n_lde,), zeta_next)
+            di = fo.batch_inverse(
+                jnp.stack(
+                    [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)],
+                    axis=1,
+                ).reshape(NUM_LIMBS, 2 * n_lde)
+            ).reshape(NUM_LIMBS, 2, n_lde)
+        with span("opened values (barycentric)"):
+            trace_at_zeta = self._barycentric_open(
+                trace_lde, zeta, di[:, 0], x_vec
+            )
+            trace_at_zeta_next = self._barycentric_open(
+                trace_lde, zeta_next, di[:, 1], x_vec
+            )
+            chunks_at_zeta = self._barycentric_open(
+                chunk_stack, zeta, di[:, 0], x_vec
+            )
+        return di, trace_at_zeta, trace_at_zeta_next, chunks_at_zeta
+
+    def _reduce_codeword(self, trace_lde, chunk_stack, di, alpha_p: int,
+                         opened):
+        """FRI input f0 = Σ α'^k (col(x) − y_k)/(z_k − x).  Override point
+        for the sharded PCS."""
+        trace_at_zeta, trace_at_zeta_next, chunks_at_zeta = opened
+        n_lde = trace_lde.shape[-1]
+        if _fused():
+            w = trace_lde.shape[1]
+            n_chunks = chunk_stack.shape[1]
+            ys_all = trace_at_zeta + trace_at_zeta_next + chunks_at_zeta
+            # column k's coefficient is α'^k starting at α'^0
+            # (matching the eager loop's k=1 initial value)
+            kpows = [pow(alpha_p, k, R_MOD) for k in range(len(ys_all))]
+            gconsts = []
+            k = 0
+            for gw in (w, w, n_chunks):
+                acc = 0
+                for _ in range(gw):
+                    acc = oracle.add(acc, oracle.mul(kpows[k], ys_all[k]))
+                    k += 1
+                gconsts.append(acc)
+            return _reduce_fused(
+                trace_lde, chunk_stack, di,
+                jnp.asarray(fr.pack_ints(kpows)),
+                jnp.asarray(fr.pack_ints(gconsts)),
+            )
+        f0 = fr.zeros((n_lde,))
+        k = 1
+        for mat, ys, dinv in (
+            (trace_lde, trace_at_zeta, di[:, 0]),
+            (trace_lde, trace_at_zeta_next, di[:, 1]),
+            (chunk_stack, chunks_at_zeta, di[:, 0]),
+        ):
+            num = fr.zeros((n_lde,))
+            for c in range(mat.shape[1]):
+                col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
+                num = fo.add(num, fo.mul_const(col, k))
+                k = oracle.mul(k, alpha_p)
+            f0 = fo.add(f0, fo.mul(num, dinv))
+        return f0
+
     # ------------------------------------------------------------------
     # Open (opened values + FRI proof); owns the challenger during opening
     # ------------------------------------------------------------------
@@ -354,42 +448,12 @@ class TwoAdicFriPcs:
 
         with span("open"):
             x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), self.shift)
-            fused = _fused()
-            if fused:
-                with span("compute_inverse_denominators"):
-                    di, pa, pb, pc = _open_values_jit(
-                        trace_lde, chunk_stack,
-                        _mont_scalar(zeta), _mont_scalar(zeta_next), x_vec,
-                    )
-                    denom_inv_zeta, denom_inv_next = di[:, 0], di[:, 1]
-                with span("opened values (barycentric)"):
-                    trace_at_zeta = _finish_opened(pa, zeta, n_lde, self.shift)
-                    trace_at_zeta_next = _finish_opened(
-                        pb, zeta_next, n_lde, self.shift
-                    )
-                    chunks_at_zeta = _finish_opened(pc, zeta, n_lde, self.shift)
-            else:
-                with span("compute_inverse_denominators"):
-                    zeta_v = fr.full((n_lde,), zeta)
-                    zeta_next_v = fr.full((n_lde,), zeta_next)
-                    di = fo.batch_inverse(
-                        jnp.stack(
-                            [fo.sub(zeta_v, x_vec), fo.sub(zeta_next_v, x_vec)],
-                            axis=1,
-                        ).reshape(NUM_LIMBS, 2 * n_lde)
-                    ).reshape(NUM_LIMBS, 2, n_lde)
-                    denom_inv_zeta, denom_inv_next = di[:, 0], di[:, 1]
-
-                with span("opened values (barycentric)"):
-                    trace_at_zeta = self._barycentric_open(
-                        trace_lde, zeta, denom_inv_zeta, x_vec
-                    )
-                    trace_at_zeta_next = self._barycentric_open(
-                        trace_lde, zeta_next, denom_inv_next, x_vec
-                    )
-                    chunks_at_zeta = self._barycentric_open(
-                        chunk_stack, zeta, denom_inv_zeta, x_vec
-                    )
+            (
+                di,
+                trace_at_zeta,
+                trace_at_zeta_next,
+                chunks_at_zeta,
+            ) = self._open_values(trace_lde, chunk_stack, zeta, zeta_next, x_vec)
 
             if self.transcript == "p3":
                 alpha_p = challenger.sample()
@@ -405,46 +469,10 @@ class TwoAdicFriPcs:
             # Reduced codeword f0 = Σ α'^k (col(x) − y)/(z − x), k over
             # [trace@ζ cols, trace@ζ·g cols, chunks@ζ].
             with span("reduce matrix quotient"):
-                if fused:
-                    w = trace_lde.shape[1]
-                    n_chunks = chunk_stack.shape[1]
-                    ys_all = (
-                        trace_at_zeta + trace_at_zeta_next + chunks_at_zeta
-                    )
-                    # column k's coefficient is α'^k starting at α'^0
-                    # (matching the eager loop's k=1 initial value)
-                    kpows = [
-                        pow(alpha_p, k, R_MOD) for k in range(len(ys_all))
-                    ]
-                    gconsts = []
-                    k = 0
-                    for gw in (w, w, n_chunks):
-                        acc = 0
-                        for _ in range(gw):
-                            acc = oracle.add(
-                                acc, oracle.mul(kpows[k], ys_all[k])
-                            )
-                            k += 1
-                        gconsts.append(acc)
-                    f0 = _reduce_fused(
-                        trace_lde, chunk_stack, di,
-                        jnp.asarray(fr.pack_ints(kpows)),
-                        jnp.asarray(fr.pack_ints(gconsts)),
-                    )
-                else:
-                    f0 = fr.zeros((n_lde,))
-                    k = 1
-                    for mat, ys, dinv in (
-                        (trace_lde, trace_at_zeta, denom_inv_zeta),
-                        (trace_lde, trace_at_zeta_next, denom_inv_next),
-                        (chunk_stack, chunks_at_zeta, denom_inv_zeta),
-                    ):
-                        num = fr.zeros((n_lde,))
-                        for c in range(mat.shape[1]):
-                            col = fo.sub(mat[:, c], fr.full((n_lde,), ys[c]))
-                            num = fo.add(num, fo.mul_const(col, k))
-                            k = oracle.mul(k, alpha_p)
-                        f0 = fo.add(f0, fo.mul(num, dinv))
+                f0 = self._reduce_codeword(
+                    trace_lde, chunk_stack, di, alpha_p,
+                    (trace_at_zeta, trace_at_zeta_next, chunks_at_zeta),
+                )
 
         with span("FRI prover"):
             if self.transcript == "p3":
@@ -456,6 +484,26 @@ class TwoAdicFriPcs:
                     f0, trace_data.tree, quot_data.tree, challenger
                 )
         return trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, fri_proof
+
+    # ------------------------------------------------------------------
+    # FRI ladder primitives (override points for the sharded PCS)
+    # ------------------------------------------------------------------
+
+    def _use_fused_levels(self) -> bool:
+        """Whether device FRI levels run as ONE fused program each
+        (_fri_level_jit) — single-chip Pallas path only."""
+        return _fused() and isinstance(self.hasher, Poseidon2Hasher)
+
+    def _fold_device(self, f, beta_int: int, cur_shift: int, cur_omega: int):
+        """One device fold of a (16, N) codeword to (16, N/2)."""
+        return fold_codeword(f, beta_int, cur_shift, cur_omega)
+
+    def _commit_halves(self, f):
+        """Commit the (f_lo, f_hi) halves pairing of a folded codeword
+        (native transcript's per-level commitment)."""
+        size = f.shape[-1]
+        halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
+        return mmcs.commit([halves], self.hasher)
 
     # ------------------------------------------------------------------
     # FRI commit phase — native transcript (fold, then commit the result)
@@ -483,7 +531,7 @@ class TwoAdicFriPcs:
         commit_span.__enter__()
         from ..fri.fold import _inv2x_table
 
-        fused_levels = _fused() and isinstance(self.hasher, Poseidon2Hasher)
+        fused_levels = self._use_fused_levels()
         while size > final_size:
             beta = challenger.sample()
             betas.append(beta)
@@ -514,7 +562,7 @@ class TwoAdicFriPcs:
                 challenger.observe(root)
                 continue
             if f_host is None:
-                f = fold_codeword(f, beta, cur_shift, cur_omega)
+                f = self._fold_device(f, beta, cur_shift, cur_omega)
             else:
                 f_host = tail.fold(f_host, beta, cur_shift, cur_omega)
             cur_shift = (cur_shift * cur_shift) % R_MOD
@@ -522,10 +570,7 @@ class TwoAdicFriPcs:
             size //= 2
             if will_commit:
                 if f_host is None:
-                    halves = jnp.stack(
-                        [f[:, : size // 2], f[:, size // 2 :]], axis=1
-                    )
-                    t = mmcs.commit([halves], self.hasher)
+                    t = self._commit_halves(f)
                     root = t.root_int()
                 else:
                     t, root = tail.commit_halves(f_host, bit_reverse=False)
@@ -623,7 +668,7 @@ class TwoAdicFriPcs:
             beta = challenger.sample()
             betas.append(beta)
             if f_host is None:
-                f = fold_codeword(f, beta, cur_shift, cur_omega)
+                f = self._fold_device(f, beta, cur_shift, cur_omega)
             else:
                 f_host = tail.fold(f_host, beta, cur_shift, cur_omega)
             cur_shift = (cur_shift * cur_shift) % R_MOD
@@ -970,25 +1015,33 @@ class _HostTail:
 
     Uses the native C engine ((n, 4) u64 canonical rows) when available —
     a whole 2^15 tail costs ~0.4 s — falling back to numpy object arrays.
+    Folding is pure field arithmetic (hasher-independent, native whenever
+    the engine exists); commits go native for Poseidon2 AND Keccak (the
+    kc_* sweeps), scalar Python for anything else.
     """
 
     def __init__(self, hasher):
+        from ..hash.hasher import KeccakHasher
+
         self.hasher = hasher
-        self.native = ne.available() and isinstance(hasher, Poseidon2Hasher)
+        avail = ne.available()
+        self.native_field = avail
+        self.native = avail and isinstance(hasher, Poseidon2Hasher)
+        self.native_kc = avail and isinstance(hasher, KeccakHasher)
 
     def from_device(self, f: jax.Array):
         planes = np.asarray(f)
-        if self.native:
+        if self.native_field:
             return ne.from_mont(ne.planes_to_u64(planes))
         return np.array(fr.unpack_ints(planes), dtype=object)
 
     def to_ints(self, state) -> list:
-        if self.native:
+        if self.native_field:
             return ne.u64_to_ints(state)
         return [int(v) for v in state]
 
     def fold(self, state, beta: int, shift_int: int, omega_int: int):
-        if self.native:
+        if self.native_field:
             return ne.fold(state, beta, shift_int, omega_int)
         from ..hash import np_poseidon2 as npp
 
@@ -1001,19 +1054,58 @@ class _HostTail:
         n = len(state)
         half = n // 2
         params = getattr(self.hasher, "params", None)
-        if self.native:
+        if self.native or self.native_kc:
             lo, hi = state[:half], state[half:]
-            d = ne.compress(lo, hi, params)
+            if self.native:
+                d = ne.compress(lo, hi, params)
+            else:
+                d = ne.kc_compress(lo, hi)
             halves_dev = jnp.asarray(
                 ne.u64_to_planes(ne.to_mont(np.concatenate([lo, hi])))
             ).reshape(NUM_LIMBS, 2, half)
             if bit_reverse and half > 1:
                 d = d[_bitrev_table(half)]
-            ups = [d] + (ne.tree_levels(d, params) if half > 1 else [])
+            if half > 1:
+                tl = (ne.tree_levels(d, params) if self.native
+                      else ne.kc_tree_levels(d))
+            else:
+                tl = []
+            ups = [d] + tl
             levels = [
                 jnp.asarray(ne.u64_to_planes(ne.to_mont(l))) for l in ups
             ]
             root = ne.u64_to_ints(ups[-1][-1:])[0]
+        elif self.native_field:
+            # engine exists but unknown hasher: field ops native, hashing
+            # scalar over ints
+            lo_i = ne.u64_to_ints(state[:half])
+            hi_i = ne.u64_to_ints(state[half:])
+            d = np.array(
+                [self.hasher.compress_ints(a, b) for a, b in zip(lo_i, hi_i)],
+                dtype=object,
+            )
+            halves_dev = jnp.asarray(
+                fr.pack_ints(lo_i + hi_i)
+            ).reshape(NUM_LIMBS, 2, half)
+            if bit_reverse and half > 1:
+                d = d[_bitrev_table(half)]
+            lv = [d]
+            cur = d
+            while len(cur) > 1:
+                cur = np.array(
+                    [
+                        self.hasher.compress_ints(
+                            int(cur[2 * i]), int(cur[2 * i + 1])
+                        )
+                        for i in range(len(cur) // 2)
+                    ],
+                    dtype=object,
+                )
+                lv.append(cur)
+            levels = [
+                jnp.asarray(fr.pack_ints([int(v) for v in l])) for l in lv
+            ]
+            root = int(lv[-1][0])
         else:
             from ..hash import np_poseidon2 as npp
 

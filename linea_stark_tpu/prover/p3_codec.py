@@ -50,19 +50,22 @@ def _enc_fe_bytes(v: int) -> bytes:
     return int(v).to_bytes(32, "little")
 
 
-def _dec_fe_bytes(b) -> int:
+def _dec_fe_bytes(b, endian: str = "little") -> int:
     if isinstance(b, (bytes, bytearray)):
-        v = int.from_bytes(bytes(b), "little")
+        v = int.from_bytes(bytes(b), endian)
     else:
         v = int(b)
     assert v < R_MOD, "non-canonical field element"
     return v
 
 
-def _codec(fe: str):
+def _codec(fe: str, endian: str = "little"):
+    import functools
+
+    dec = functools.partial(_dec_fe_bytes, endian=endian)
     if fe == "int":
-        return int, _dec_fe_bytes
-    return _enc_fe_bytes, _dec_fe_bytes
+        return int, dec
+    return _enc_fe_bytes, dec
 
 
 def proof_to_p3_cbor(proof: Proof, fe: str = "bytes") -> bytes:
@@ -121,13 +124,17 @@ def proof_to_p3_cbor(proof: Proof, fe: str = "bytes") -> bytes:
     return cbor.dumps(d)
 
 
-def proof_from_p3_cbor(data: bytes, log_blowup: int) -> Proof:
+def proof_from_p3_cbor(data: bytes, log_blowup: int,
+                       endian: str = "little") -> Proof:
     """Decode a p3-layout proof back into the framework's container.
 
     ``log_blowup`` reconstructs the query indices' home heights; the trace
-    width is inferred from ``opened_values.trace_local``."""
+    width is inferred from ``opened_values.trace_local``.  ``endian``
+    selects the 32-byte field-element leaf decode ("little" = arkworks
+    CanonicalSerialize; "big" offered because the fork's serde derive is
+    unverifiable without its source — tests/test_vectors.py tries both)."""
     d = cbor.loads(data)
-    _, dec = _codec("bytes")
+    _, dec = _codec("bytes", endian)
 
     def com(c):
         return dec(c[0])

@@ -82,6 +82,16 @@ def _quotient_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks)
     )
 
 
+@functools.partial(jax.jit, static_argnames=("air", "n", "shift", "n_chunks"))
+def _quotient_plain_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift,
+                        n_chunks):
+    """Plain-jit twin of :func:`_quotient_jit` for the sharded (GSPMD) path —
+    the export cache serializes single-device modules only."""
+    return compute_quotient(
+        trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks
+    )
+
+
 def _selector_factors(sel: Sel, zeta: int, n: int, z_h: int, omega_n: int) -> int:
     """Scalar Z-compensated selector factors at ζ (see quotient notes)."""
     last = pow(omega_n, n - 1, R_MOD)
@@ -242,10 +252,16 @@ def prove(
     trace: jax.Array,
     public_values: list,
     challenger: HashChallenger,
+    pcs=None,
 ) -> Proof:
-    """trace: (16, W, n) Montgomery limbs; public_values = [alpha, delta]."""
+    """trace: (16, W, n) Montgomery limbs; public_values = [alpha, delta].
+
+    ``pcs`` overrides the PCS instance (the sharded prover passes a
+    :class:`~linea_stark_tpu.dist.pcs.ShardedTwoAdicFriPcs`; one PCS seam,
+    every caller — bin/src/config.rs:19-24)."""
     alpha, delta = public_values
-    pcs = make_pcs(config)
+    if pcs is None:
+        pcs = make_pcs(config)
     p3 = config.transcript == "p3"
 
     w = trace.shape[1]
@@ -270,6 +286,14 @@ def prove(
     with span("compute quotient polynomial", dims=f"{n_chunks}x{n}"):
         if _fused():
             chunks = _quotient_jit(
+                trace_data.lde, air,
+                _mont_scalar(alpha), _mont_scalar(delta), _mont_scalar(gamma),
+                n, config.coset_shift, n_chunks,
+            )
+        elif getattr(pcs, "mesh", None) is not None:
+            # sharded path: one jitted program so GSPMD partitions the
+            # whole evaluation (eager dispatch per op would serialize)
+            chunks = _quotient_plain_jit(
                 trace_data.lde, air,
                 _mont_scalar(alpha), _mont_scalar(delta), _mont_scalar(gamma),
                 n, config.coset_shift, n_chunks,
