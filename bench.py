@@ -108,13 +108,16 @@ def kernel_microbench():
 
     # Production LDE shape: 8 batched transforms (the trace commit's iNTT
     # half; a C=1 single transform takes an unshared slow path and
-    # misrepresents the pipeline).
+    # misrepresents the pipeline).  Jitted whole, as the prove phases run
+    # it — the eager per-stage chain is dispatch-latency-bound on the
+    # remote backend and under-reports by ~10x.
     m = n // 8
     x = jnp.asarray(limbs).reshape(16, 8, m)
-    np.asarray(ntt(x)[..., :1])  # compile + real sync (axon block_until_ready is lazy)
+    ntt_j = jax.jit(ntt)
+    np.asarray(ntt_j(x)[..., :1])  # compile + real sync (axon block_until_ready is lazy)
     t0 = time.time()
     for _ in range(2):
-        y = ntt(x)
+        y = ntt_j(x)
     np.asarray(y[..., :1])
     dt = (time.time() - t0) / 2
     btf = 8 * (m // 2) * (m.bit_length() - 1)

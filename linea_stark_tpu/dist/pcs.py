@@ -281,16 +281,19 @@ class ShardedTwoAdicFriPcs(TwoAdicFriPcs):
             f, _mont_scalar(beta_int), self.mesh, cur_shift, cur_omega
         )
 
-    def _commit_halves(self, f):
+    def _commit_grouped(self, f, arity: int):
         size = f.shape[-1]
-        halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
-        if size // 2 < 4 * self._n_dev():
-            return mmcs.commit([halves], self.hasher)
-        halves = jax.device_put(halves, _rows3(self.mesh))
-        levels = _commit_levels_jit(
-            halves, self.mesh, self.hasher.params, False
+        q = size // arity
+        groups = jnp.stack(
+            [f[:, k * q : (k + 1) * q] for k in range(arity)], axis=1
         )
-        return mmcs.MerkleTree([halves], [0], list(levels), self.hasher, None)
+        if q < 4 * self._n_dev():
+            return mmcs.commit([groups], self.hasher)
+        groups = jax.device_put(groups, _rows3(self.mesh))
+        levels = _commit_levels_jit(
+            groups, self.mesh, self.hasher.params, False
+        )
+        return mmcs.MerkleTree([groups], [0], list(levels), self.hasher, None)
 
 
 def make_sharded_pcs(config, mesh: Mesh, host_tail: int = None

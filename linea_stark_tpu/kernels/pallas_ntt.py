@@ -34,9 +34,25 @@ from .pallas_field import _interpret
 _PALLAS_MIN_N = 4096
 
 
+def _lane_fold(m: int, s: int) -> int:
+    """Fold factor k: view (M, S) as (M·k, S/k) so early stages (m < 8)
+    fill all 8 VPU sublanes instead of 1-4 (the twiddle only depends on the
+    m index, so it is repeated k times; the row-major reshape round-trips
+    for free).  Keeps the folded lane axis a multiple of 128."""
+    k = 8 // m if m < 8 else 1
+    while k > 1 and (s % k or (s // k) % 128):
+        k //= 2
+    return k
+
+
 @functools.partial(jax.jit, static_argnames=("lanes_tile", "m_tile"))
 def _stage_axis2(v: jax.Array, w_stage: jax.Array, lanes_tile: int = 1024, m_tile: int = 8) -> jax.Array:
     """One Stockham stage over axis -2.  v: (16, C, L, M, S) -> (16, C, L/2, 2M, S)."""
+    _, c, l_count, m0, s0 = v.shape
+    k = _lane_fold(m0, s0)
+    if k > 1:
+        v = v.reshape(NUM_LIMBS, c, l_count, m0 * k, s0 // k)
+        w_stage = jnp.repeat(w_stage, k, axis=-1)
     _, c, l_count, m, s = v.shape
     half = l_count // 2
     t2 = min(lanes_tile, s)
@@ -83,7 +99,7 @@ def _stage_axis2(v: jax.Array, w_stage: jax.Array, lanes_tile: int = 1024, m_til
         out_specs=o_spec,
         interpret=_interpret(),
     )(v, v, jnp.swapaxes(w_stage, 0, 1))
-    return out.reshape(NUM_LIMBS, c, half, 2 * m, s)
+    return out.reshape(NUM_LIMBS, c, half, 2 * m0, s0)
 
 
 @functools.partial(jax.jit, static_argnames=("lanes_tile", "m_tile"))
@@ -103,6 +119,13 @@ def _stage4_axis2(
         out[    j] = p0 + w2a·p1     out[2M+j] = p0 − w2a·p1
         out[ M+j] = q0 + w2b·q1     out[3M+j] = q0 − w2b·q1
     """
+    _, c, l_count, m0, s0 = v.shape
+    k = _lane_fold(m0, s0)
+    if k > 1:
+        v = v.reshape(NUM_LIMBS, c, l_count, m0 * k, s0 // k)
+        w1 = jnp.repeat(w1, k, axis=-1)
+        w2a = jnp.repeat(w2a, k, axis=-1)
+        w2b = jnp.repeat(w2b, k, axis=-1)
     _, c, l_count, m, s = v.shape
     quarter = l_count // 4
     t2 = min(lanes_tile, s)
@@ -173,18 +196,20 @@ def _stage4_axis2(
         jnp.swapaxes(w2a, 0, 1),
         jnp.swapaxes(w2b, 0, 1),
     )
-    return out.reshape(NUM_LIMBS, c, quarter, 4 * m, s)
+    return out.reshape(NUM_LIMBS, c, quarter, 4 * m0, s0)
 
 
 # Read once at import: a per-call read would freeze into jit caches anyway
 # (making the toggle silently inert under a caller's jit) and the
-# radix-2-default compile/runtime trade-off deserves one visible constant.
-# Default radix-2: ~2x the HBM passes of radix-4 but ~4x cheaper Mosaic
-# compile per stage program — the cold-start bill dominates on the remote
-# backend.  Set LINEA_NTT_RADIX=4 before import for throughput experiments.
+# radix-2/4 trade-off deserves one visible constant.  Default radix-4 on
+# the TPU path (round-5: half the HBM passes and kernel launches of
+# radix-2 — the 2^22-blowup-4 config quadruples LDE work relative to
+# hashing, BENCH_MATRIX row 6); per-stage Mosaic compiles are ~2x radix-2
+# but ride the persistent cache.  Set LINEA_NTT_RADIX=2 before import to
+# revert.
 import os as _os
 
-_RADIX4 = _os.environ.get("LINEA_NTT_RADIX") == "4"
+_RADIX4 = _os.environ.get("LINEA_NTT_RADIX", "4") == "4"
 
 
 def _radix4() -> bool:

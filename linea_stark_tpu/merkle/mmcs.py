@@ -88,12 +88,17 @@ class MerkleTree:
     # (p3 transcript mode commits rows in bit-reversed order; the digest
     # layer is permuted instead of the matrix, pcs/two_adic_fri.py).
     row_perm: object = None  # np.ndarray or None
+    # Canonical root int when a host-side build already knows it (saves one
+    # device->host fetch RTT per tree — ~12 per prove on the remote TPU).
+    root_cache: int = None
 
     @property
     def root(self) -> jax.Array:
         return self.levels[-1][:, 0]
 
     def root_int(self) -> int:
+        if self.root_cache is not None:
+            return self.root_cache
         return fr.unpack_ints(fetch_global(self.levels[-1][..., :1]))[0]
 
 
@@ -127,8 +132,9 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
         return _commit_host(matrices, order, h)
     d = rows_digest(max_h)
     br_start = None
+    root = None
     if single_height:
-        levels, br_start = build_levels_single(d, h)
+        levels, br_start, root = build_levels_single(d, h)
     else:
         levels = [d]
         size = max_h
@@ -139,7 +145,9 @@ def commit(matrices: Sequence[jax.Array], hasher=None) -> MerkleTree:
             if inj is not None:
                 d = h.compress(d, inj)
             levels.append(d)
-    return MerkleTree(list(matrices), order, levels, h, br_start)
+    return MerkleTree(
+        list(matrices), order, levels, h, br_start, root_cache=root
+    )
 
 
 def _fused_ok(h) -> bool:
@@ -205,16 +213,20 @@ def _fused_single_levels_impl(d: jax.Array, params):
 def assemble_fused_levels(d: jax.Array, sweeps, ups, params) -> tuple:
     """Host assembly of :func:`_fused_single_levels` output into the full
     level list: appends the host finish and truncates the padded-subtree
-    levels to the real tree's depth.  Returns (levels, br_start)."""
+    levels to the real tree's depth.  Returns (levels, br_start, root_int)
+    — root_int is the canonical root when the host finish produced it
+    (always, for padded-subtree trees), else None."""
     from ..kernels import pallas_poseidon2 as pk
 
     max_h = d.shape[-1]
     levels = [d] + list(sweeps)
     br_start = None
+    root = None
     if ups:
-        all_ups = list(ups) + pk.host_subtree_finish(
+        tail, root = pk.host_subtree_finish(
             ups[-1][:, : pk._SUBTREE_HOST], params
         )
+        all_ups = list(ups) + tail
         # The padded subtree always produces log2(TREE_SWEEP_SIZE) levels;
         # only the first log2(actual layer size) are levels of the REAL
         # tree (its root sits at position 0 there) — matching the
@@ -222,7 +234,12 @@ def assemble_fused_levels(d: jax.Array, sweeps, ups, params) -> tuple:
         size_end = min(max_h, TREE_SWEEP_SIZE)
         br_start = len(levels)
         levels.extend(all_ups[: size_end.bit_length() - 1])
-    return levels, br_start
+        if size_end != TREE_SWEEP_SIZE:
+            # Truncated padded tree: the real root sits at position 0 of an
+            # intermediate level, not at the padded-subtree root — the
+            # host-finish root is NOT this tree's root.
+            root = None
+    return levels, br_start, root
 
 
 _fused_single_levels = export_cached_jit(
@@ -232,8 +249,10 @@ _fused_single_levels = export_cached_jit(
 
 def build_levels_single(d: jax.Array, h) -> tuple:
     """All digest levels above a (16, N) leaf layer.  Returns
-    (levels, br_start) — levels[0] is the leaf layer; levels at index >=
-    ``br_start`` (when not None) are stored in bit-reversed order."""
+    (levels, br_start, root_int_or_None) — levels[0] is the leaf layer;
+    levels at index >= ``br_start`` (when not None) are stored in
+    bit-reversed order; root_int is the canonical root when a host-side
+    finish already computed it (None otherwise)."""
     max_h = d.shape[-1]
     br_start = None
     if _fused_ok(h) and max_h > 1:
@@ -241,18 +260,19 @@ def build_levels_single(d: jax.Array, h) -> tuple:
         return assemble_fused_levels(d, sweeps, ups, h.params)
     if not use_pallas():
         if max_h >= 4:
-            return [d] + _scan_tree_levels(d, h), None
+            return [d] + _scan_tree_levels(d, h), None, None
         levels = [d]
         size = max_h
         while size > 1:
             size //= 2
             d = h.compress(d[..., 0::2], d[..., 1::2])
             levels.append(d)
-        return levels, None
+        return levels, None, None
     # Pallas: exact-size halving sweeps down to the fixed subtree buffer
     # size, then the shape-polymorphic tree_step chain (ONE compiled
     # program for every level of every tree — per-level shapes were the
     # compile bomb, kernels/pallas_poseidon2.py).
+    root = None
     levels = [d]
     size = max_h
     while size > TREE_SWEEP_SIZE and size > 1:
@@ -302,6 +322,7 @@ def build_levels_single(d: jax.Array, h) -> tuple:
                 levels.append(
                     jnp.asarray(ne.u64_to_planes(ne.to_mont(l)))
                 )
+                root = ne.u64_to_ints(l)[0] if l.shape[0] == 1 else root
             size = 1
         if size > 1:
             vals = fr.unpack_ints(np.asarray(d))
@@ -312,7 +333,8 @@ def build_levels_single(d: jax.Array, h) -> tuple:
                     for i in range(size)
                 ]
                 levels.append(jnp.asarray(fr.pack_ints(vals)))
-    return levels, br_start
+            root = int(vals[0])
+    return levels, br_start, root
 
 
 def _commit_host(matrices, order, h) -> MerkleTree:
@@ -330,7 +352,9 @@ def _commit_host(matrices, order, h) -> MerkleTree:
         size //= 2
         vals = [h.compress_ints(vals[2 * i], vals[2 * i + 1]) for i in range(size)]
         levels.append(jnp.asarray(fr.pack_ints(vals)))
-    return MerkleTree(list(matrices), order, levels, h)
+    return MerkleTree(
+        list(matrices), order, levels, h, root_cache=int(vals[0])
+    )
 
 
 def _scan_tree_levels(leaves: jax.Array, h) -> list:
@@ -409,6 +433,7 @@ def open_batch(requests) -> list:
     Returns one list of :class:`BatchOpening` per request."""
     q_max = max((len(idx) for _, idx in requests), default=0)
     mats, midx, lvls, lidx = [], [], [], []
+    lazy_rows = {}  # slot -> (16, W, q_max) np array (streamed matrices)
     meta = []
     for tree, indices in requests:
         heights = [m.shape[2] for m in tree.matrices]
@@ -420,10 +445,15 @@ def open_batch(requests) -> list:
         for m, h in zip(tree.matrices, heights):
             shift = log_max - (h.bit_length() - 1)
             m_slots.append((len(mats), m.shape[1]))
-            mats.append(m)
             ridx = idx_np >> shift
             if tree.row_perm is not None:
                 ridx = tree.row_perm[ridx]
+            if hasattr(m, "gather_rows"):  # streamed (LazyLde) matrix
+                lazy_rows[len(mats)] = np.asarray(m.gather_rows(ridx))
+                mats.append(None)
+                midx.append(None)
+                continue
+            mats.append(m)
             midx.append(ridx.astype(np.int32))
         s_slots = []
         cur = idx_np.copy()
@@ -437,29 +467,42 @@ def open_batch(requests) -> list:
             cur >>= 1
         meta.append((list(indices), m_slots, s_slots))
 
+    dev_mats = [m for m in mats if m is not None]
+    dev_midx = [ix for ix in midx if ix is not None]
     rows_all, sibs_all = _gather_batch(
-        tuple(mats),
-        jnp.asarray(np.stack(midx)) if midx else jnp.zeros((0, q_max), jnp.int32),
+        tuple(dev_mats),
+        jnp.asarray(np.stack(dev_midx)) if dev_midx else jnp.zeros((0, q_max), jnp.int32),
         tuple(lvls),
         jnp.asarray(np.stack(lidx)) if lidx else jnp.zeros((0, q_max), jnp.int32),
     )
     rows_np, sibs_np = fetch_global(rows_all), fetch_global(sibs_all)
     rows_ints = fr.unpack_ints(rows_np) if rows_np.size else []
     sibs_ints = fr.unpack_ints(sibs_np) if sibs_np.size else []
+    lazy_ints = {
+        slot: fr.unpack_ints(arr.reshape(16, -1))
+        for slot, arr in lazy_rows.items()
+    }
 
-    # per-slot column offsets into the concatenated width axis
+    # per-slot column offsets into the concatenated device width axis
     _w_off = {}
     off = 0
     for k, m in enumerate(mats):
+        if m is None:
+            continue
         _w_off[k] = off
         off += m.shape[1]
+
+    def _row_val(slot, c, q):
+        if slot in lazy_ints:
+            return lazy_ints[slot][c * q_max + q]
+        return rows_ints[(_w_off[slot] + c) * q_max + q]
 
     out = []
     for (indices, m_slots, s_slots) in meta:
         openings = []
         for q, index in enumerate(indices):
             rows = [
-                [rows_ints[(_w_off[slot] + c) * q_max + q] for c in range(w)]
+                [_row_val(slot, c, q) for c in range(w)]
                 for slot, w in m_slots
             ]
             sibs = [sibs_ints[s * q_max + q] for s in s_slots]

@@ -14,6 +14,15 @@ indexing.  The two agree on all device arithmetic — a natural-order
 half-pairing fold IS the bit-reversed adjacent-pair fold — so "p3" adds only
 a leaf-digest permutation at commit time and bit-reversed index bookkeeping
 at query time (PARITY.md §3 items 3-4).
+
+Native mode folds with **arity 4** (one β per round; the arity-4 fold is the
+two chained arity-2 folds with β, β² — f0 + β·f1 + β²·f2 + β³·f3): half the
+Fiat-Shamir round trips and ~1/4 the commit hashing of the arity-2 ladder,
+with the committed codeword grouped (arity, N/arity) so one leaf feeds the
+next round's fold; the input openings read arity positions of the reduced
+codeword.  Standard FRI arity/proof-size trade-off — soundness per query is
+governed by the blowup, not the folding arity.  p3 mode keeps arity 2 for
+upstream parity.
 """
 
 from __future__ import annotations
@@ -196,6 +205,32 @@ def _fri_level_jit(f, beta, inv2x, params):
     return folded, d, sweeps, ups
 
 
+@export_cached_jit(name="fri_round4", static_argnames=("params",))
+def _fri_round4_jit(f, beta, beta2, inv2x_a, inv2x_b, params):
+    """One arity-4 FRI round — TWO chained folds (β, β²), quarters-leaf
+    hash, and every device tree level — as ONE compiled program.
+
+    The arity-4 fold is exactly two arity-2 folds: with
+    f = f0(x⁴) + x·f1 + x²·f2 + x³·f3, fold(fold(f, β), β²)
+    = f0 + β·f1 + β²·f2 + β³·f3.  The folded codeword (size N/4) commits
+    as the quarters matrix (4, N/16) so the NEXT round's query reads its 4
+    fold inputs from one leaf.  Returns
+    (folded, leaf_digests, sweep_levels, subtree_levels)."""
+    from ..fri.fold import _fold_jit
+    from ..kernels import pallas_poseidon2 as pk
+
+    g = _fold_jit(f, beta, inv2x_a)
+    folded = _fold_jit(g, beta2, inv2x_b)
+    q = folded.shape[-1] // 4
+    # quarters-leaf sponge: absorb (v0, v1) then (v2, v3) — 2 permutations
+    s0, s1, s2 = pk.permute2(folded[:, :q], folded[:, q : 2 * q], params)
+    d = pk.permute(
+        folded[:, 2 * q : 3 * q], folded[:, 3 * q :], s2, params
+    )[0]
+    sweeps, ups = mmcs._fused_single_levels_impl(d, params)
+    return folded, d, sweeps, ups
+
+
 def _bitrev_int(x: int, bits: int) -> int:
     r = 0
     for _ in range(bits):
@@ -251,7 +286,15 @@ class TwoAdicFriPcs:
 
     def _lde(self, trace: jax.Array) -> jax.Array:
         """Coset LDE of the full (16, W, n) trace (override point for the
-        sharded PCS, dist/pcs.py)."""
+        sharded PCS, dist/pcs.py).  Heights whose LDE exceeds the HBM
+        budget return a :class:`~linea_stark_tpu.pcs.streaming.LazyLde`
+        (coefficient form; evals re-derived per column group)."""
+        from .streaming import make_lazy_lde, want_streaming
+
+        if isinstance(self.hasher, Poseidon2Hasher) and want_streaming(
+            trace.shape[1], trace.shape[-1] << self.fri.log_blowup
+        ):
+            return make_lazy_lde(trace, self.fri.log_blowup, self.shift)
         if _fused():
             # Column groups bound the fused program's peak HBM: one
             # program transforming 14 columns at 2^22 exhausted the
@@ -293,6 +336,24 @@ class TwoAdicFriPcs:
         return root, PcsData(tree, stack)
 
     def _commit_matrix(self, mat: jax.Array) -> mmcs.MerkleTree:
+        from .streaming import LazyLde, streamed_leaf_digests
+
+        if isinstance(mat, LazyLde):
+            d = streamed_leaf_digests(mat, self.hasher.params)
+            if self.transcript == "p3":
+                n = mat.shape[-1]
+                d = jnp.take(d, _bitrev_device(n), axis=-1)
+                levels, br_start, root = mmcs.build_levels_single(
+                    d, self.hasher
+                )
+                return mmcs.MerkleTree(
+                    [mat], [0], levels, self.hasher, br_start,
+                    row_perm=_bitrev_table(n), root_cache=root,
+                )
+            levels, br_start, root = mmcs.build_levels_single(d, self.hasher)
+            return mmcs.MerkleTree(
+                [mat], [0], levels, self.hasher, br_start, root_cache=root
+            )
         if self.transcript == "p3":
             return self._commit_single_br(mat)
         return mmcs.commit([mat], self.hasher)
@@ -310,9 +371,10 @@ class TwoAdicFriPcs:
         else:
             d = h.hash_columns([mat[:, c] for c in range(mat.shape[1])])
         d_br = jnp.take(d, _bitrev_device(n), axis=-1) if n > 1 else d
-        levels, br_start = mmcs.build_levels_single(d_br, h)
+        levels, br_start, root = mmcs.build_levels_single(d_br, h)
         return mmcs.MerkleTree(
-            [mat], [0], levels, h, br_start, row_perm=_bitrev_table(n)
+            [mat], [0], levels, h, br_start, row_perm=_bitrev_table(n),
+            root_cache=root,
         )
 
     def _prepare_chunks(self, chunks: jax.Array) -> jax.Array:
@@ -352,7 +414,37 @@ class TwoAdicFriPcs:
         (di, trace_at_zeta, trace_at_zeta_next, chunks_at_zeta) where
         di = (16, 2, n_lde) inverses of (ζ−x, ζ·g−x).  Override point for
         the sharded PCS."""
+        from .streaming import (
+            LazyLde,
+            _chunk_open_partials_jit,
+            _denoms_jit,
+            _group_open_partials_jit,
+        )
+
         n_lde = trace_lde.shape[-1]
+        if isinstance(trace_lde, LazyLde):
+            with span("compute_inverse_denominators"):
+                di = _denoms_jit(
+                    _mont_scalar(zeta), _mont_scalar(zeta_next), x_vec
+                )
+            with span("opened values (barycentric, streamed)"):
+                pa_parts, pb_parts = [], []
+                for c0, c1 in trace_lde.groups():
+                    pa_g, pb_g = _group_open_partials_jit(
+                        trace_lde.coeffs[:, c0:c1], di, x_vec,
+                        trace_lde.log_blowup, trace_lde.shift,
+                    )
+                    pa_parts.append(pa_g)
+                    pb_parts.append(pb_g)
+                pa = jnp.concatenate(pa_parts, axis=1)
+                pb = jnp.concatenate(pb_parts, axis=1)
+                pc = _chunk_open_partials_jit(chunk_stack, di, x_vec)
+                trace_at_zeta = _finish_opened(pa, zeta, n_lde, self.shift)
+                trace_at_zeta_next = _finish_opened(
+                    pb, zeta_next, n_lde, self.shift
+                )
+                chunks_at_zeta = _finish_opened(pc, zeta, n_lde, self.shift)
+            return di, trace_at_zeta, trace_at_zeta_next, chunks_at_zeta
         if _fused():
             with span("compute_inverse_denominators"):
                 di, pa, pb, pc = _open_values_jit(
@@ -392,7 +484,52 @@ class TwoAdicFriPcs:
         """FRI input f0 = Σ α'^k (col(x) − y_k)/(z_k − x).  Override point
         for the sharded PCS."""
         trace_at_zeta, trace_at_zeta_next, chunks_at_zeta = opened
+        from .streaming import (
+            LazyLde,
+            _chunk_reduce_partial_jit,
+            _group_reduce_partial_jit,
+        )
+
         n_lde = trace_lde.shape[-1]
+        if isinstance(trace_lde, LazyLde):
+            w = trace_lde.shape[1]
+            n_chunks = chunk_stack.shape[1]
+            ys_all = trace_at_zeta + trace_at_zeta_next + chunks_at_zeta
+            kpows = [pow(alpha_p, k, R_MOD) for k in range(len(ys_all))]
+            f0 = fr.zeros((n_lde,))
+            for c0, c1 in trace_lde.groups():
+                kp = [kpows[c0:c1], kpows[w + c0 : w + c1]]
+                gconst = [
+                    functools.reduce(
+                        oracle.add,
+                        (
+                            oracle.mul(k_, y_)
+                            for k_, y_ in zip(
+                                kp[d], ys_all[d * w + c0 : d * w + c1]
+                            )
+                        ),
+                        0,
+                    )
+                    for d in (0, 1)
+                ]
+                f0 = _group_reduce_partial_jit(
+                    trace_lde.coeffs[:, c0:c1], di,
+                    jnp.asarray(fr.pack_ints(kp[0] + kp[1])).reshape(
+                        NUM_LIMBS, 2, c1 - c0
+                    ),
+                    jnp.asarray(fr.pack_ints(gconst)),
+                    f0, trace_lde.log_blowup, trace_lde.shift,
+                )
+            kc = kpows[2 * w :]
+            gc = functools.reduce(
+                oracle.add,
+                (oracle.mul(k_, y_) for k_, y_ in zip(kc, chunks_at_zeta)),
+                0,
+            )
+            return _chunk_reduce_partial_jit(
+                chunk_stack, di, jnp.asarray(fr.pack_ints(kc)),
+                jnp.asarray(fr.pack_ints([gc]))[:, 0], f0,
+            )
         if _fused():
             w = trace_lde.shape[1]
             n_chunks = chunk_stack.shape[1]
@@ -491,19 +628,40 @@ class TwoAdicFriPcs:
 
     def _use_fused_levels(self) -> bool:
         """Whether device FRI levels run as ONE fused program each
-        (_fri_level_jit) — single-chip Pallas path only."""
+        (_fri_level_jit / _fri_round4_jit) — single-chip Pallas path only."""
         return _fused() and isinstance(self.hasher, Poseidon2Hasher)
 
     def _fold_device(self, f, beta_int: int, cur_shift: int, cur_omega: int):
         """One device fold of a (16, N) codeword to (16, N/2)."""
         return fold_codeword(f, beta_int, cur_shift, cur_omega)
 
-    def _commit_halves(self, f):
-        """Commit the (f_lo, f_hi) halves pairing of a folded codeword
-        (native transcript's per-level commitment)."""
+    def _commit_grouped(self, f, arity: int):
+        """Commit a folded codeword grouped so one leaf holds the next
+        round's ``arity`` fold inputs: the (arity, N/arity) matrix whose
+        leaf j is [f(j), f(j + N/a), ...] — a free reshape of natural
+        order (native transcript's per-round commitment)."""
         size = f.shape[-1]
-        halves = jnp.stack([f[:, : size // 2], f[:, size // 2 :]], axis=1)
-        return mmcs.commit([halves], self.hasher)
+        q = size // arity
+        groups = jnp.stack([f[:, k * q : (k + 1) * q] for k in range(arity)],
+                           axis=1)
+        return mmcs.commit([groups], self.hasher)
+
+    def _round_plan(self, n_lde: int):
+        """Deterministic native-mode fold schedule: [(size, arity,
+        committed)] per round + final codeword size.  Arity 4 while a
+        quarter still exceeds the final size (half the rounds and ~1/4 the
+        commit hashing of arity-2), one arity-2 round to land exactly on
+        ``final_size`` when needed; the last fold's result is sent as
+        final_poly, not committed.  The verifier recomputes the same plan."""
+        final = 1 << (self.fri.log_blowup + self.fri.log_final_poly_len)
+        plan = []
+        size = n_lde
+        while size > final:
+            arity = 4 if size // 4 >= final else 2
+            new = size // arity
+            plan.append((size, arity, new > final))
+            size = new
+        return plan, final
 
     # ------------------------------------------------------------------
     # FRI commit phase — native transcript (fold, then commit the result)
@@ -520,41 +678,60 @@ class TwoAdicFriPcs:
         fri_cfg = self.fri
         n_lde = f0.shape[-1]
         log_lde = n_lde.bit_length() - 1
-        final_size = 1 << (fri_cfg.log_blowup + fri_cfg.log_final_poly_len)
+        plan, final_size = self._round_plan(n_lde)
         f = f0
         f_host = None  # _HostTail state once the tail goes host-side
         cur_shift, cur_omega, size = self.shift, root_of_unity(log_lde), n_lde
         betas, fold_trees, fold_roots = [], [], []
         tail = _HostTail(self.hasher)
 
-        commit_span = span("commit phase (fold+commit per level)")
+        commit_span = span("commit phase (fold+commit per round)")
         commit_span.__enter__()
         from ..fri.fold import _inv2x_table
 
         fused_levels = self._use_fused_levels()
-        while size > final_size:
+        for size_r, arity, will_commit in plan:
+            assert size == size_r
             beta = challenger.sample()
             betas.append(beta)
+            beta2 = oracle.mul(beta, beta)
             if f_host is None and size <= 2 * self.host_tail:
                 f_host = tail.from_device(f)
-            will_commit = size // 2 > final_size
-            if f_host is None and fused_levels and will_commit:
-                # fold + leaf hash + whole tree, one program per level size
-                f, d, sweeps, ups = _fri_level_jit(
-                    f, _mont_scalar(beta),
-                    _inv2x_table(cur_shift, cur_omega, size // 2),
-                    self.hasher.params,
-                )
-                size //= 2
-                cur_shift = (cur_shift * cur_shift) % R_MOD
-                cur_omega = (cur_omega * cur_omega) % R_MOD
-                levels, br_start = mmcs.assemble_fused_levels(
+            new_size = size // arity
+            # next round's arity decides the committed grouping (one leaf =
+            # that round's fold inputs)
+            next_arity = 4 if new_size // 4 >= final_size else 2
+            shift2 = (cur_shift * cur_shift) % R_MOD
+            omega2 = (cur_omega * cur_omega) % R_MOD
+            if (
+                f_host is None and fused_levels and will_commit
+                and arity == next_arity
+            ):
+                # whole round (fold(s) + leaf hash + tree) in one program
+                if arity == 4:
+                    f, d, sweeps, ups = _fri_round4_jit(
+                        f, _mont_scalar(beta), _mont_scalar(beta2),
+                        _inv2x_table(cur_shift, cur_omega, size // 2),
+                        _inv2x_table(shift2, omega2, size // 4),
+                        self.hasher.params,
+                    )
+                else:
+                    f, d, sweeps, ups = _fri_level_jit(
+                        f, _mont_scalar(beta),
+                        _inv2x_table(cur_shift, cur_omega, size // 2),
+                        self.hasher.params,
+                    )
+                size = new_size
+                cur_shift = pow(cur_shift, arity, R_MOD)
+                cur_omega = pow(cur_omega, arity, R_MOD)
+                levels, br_start, root_c = mmcs.assemble_fused_levels(
                     d, sweeps, ups, self.hasher.params
                 )
-                # halves matrix of the folded codeword is a free reshape
-                halves = f.reshape(NUM_LIMBS, 2, size // 2)
+                # grouped matrix of the folded codeword is a free reshape
+                groups = f.reshape(NUM_LIMBS, arity, size // arity)
                 t = mmcs.MerkleTree(
-                    [halves], [0], levels, self.hasher, br_start
+                    [groups], [0], levels, self.hasher, br_start,
+                    root_cache=root_c,
                 )
                 root = t.root_int()
                 fold_trees.append(t)
@@ -563,17 +740,23 @@ class TwoAdicFriPcs:
                 continue
             if f_host is None:
                 f = self._fold_device(f, beta, cur_shift, cur_omega)
+                if arity == 4:
+                    f = self._fold_device(f, beta2, shift2, omega2)
             else:
                 f_host = tail.fold(f_host, beta, cur_shift, cur_omega)
-            cur_shift = (cur_shift * cur_shift) % R_MOD
-            cur_omega = (cur_omega * cur_omega) % R_MOD
-            size //= 2
+                if arity == 4:
+                    f_host = tail.fold(f_host, beta2, shift2, omega2)
+            cur_shift = pow(cur_shift, arity, R_MOD)
+            cur_omega = pow(cur_omega, arity, R_MOD)
+            size = new_size
             if will_commit:
                 if f_host is None:
-                    t = self._commit_halves(f)
+                    t = self._commit_grouped(f, next_arity)
                     root = t.root_int()
                 else:
-                    t, root = tail.commit_halves(f_host, bit_reverse=False)
+                    t, root = tail.commit_grouped(
+                        f_host, next_arity, bit_reverse=False
+                    )
                 fold_trees.append(t)
                 fold_roots.append(root)
                 challenger.observe(root)
@@ -588,32 +771,33 @@ class TwoAdicFriPcs:
         pow_witness = self._grind(challenger)
 
         with span("query phase"):
-            half0 = n_lde // 2
+            a0 = plan[0][1] if plan else 2
+            seg0 = n_lde // a0
             indices = [
-                challenger.sample_bits(log_lde - 1)
+                challenger.sample_bits(log_lde - (a0.bit_length() - 1))
                 for _ in range(fri_cfg.num_queries)
             ]
             query_proofs = []
             # Every tree's row + auth-path gathers ride ONE device dispatch
             # (the remote-TPU query phase was dispatch-latency-bound).
-            both = list(indices) + [i + half0 for i in indices]
-            requests = [(trace_tree, both), (quotient_tree, both)]
+            spread = [
+                i + k * seg0 for k in range(a0) for i in indices
+            ]
+            requests = [(trace_tree, spread), (quotient_tree, spread)]
             for t in fold_trees:
-                lv_half = t.matrices[0].shape[-1]
-                requests.append((t, [idx % lv_half for idx in indices]))
+                lc = t.matrices[0].shape[-1]  # leaf count of grouped matrix
+                requests.append((t, [idx % lc for idx in indices]))
             opened = mmcs.open_batch(requests)
             nq = fri_cfg.num_queries
-            trace_pairs = (opened[0][:nq], opened[0][nq:])
-            quot_pairs = (opened[1][:nq], opened[1][nq:])
-            level_openings = opened[2:]
             for qi in range(nq):
+                t_opens = [opened[0][k * nq + qi] for k in range(a0)]
+                q_opens = [opened[1][k * nq + qi] for k in range(a0)]
                 query_proofs.append(
                     QueryProof(
-                        input_openings=[
-                            [trace_pairs[0][qi], trace_pairs[1][qi]],
-                            [quot_pairs[0][qi], quot_pairs[1][qi]],
+                        input_openings=[t_opens, q_opens],
+                        commit_openings=[
+                            opened[2 + r][qi] for r in range(len(fold_trees))
                         ],
-                        commit_openings=[lo[qi] for lo in level_openings],
                     )
                 )
 
@@ -797,95 +981,100 @@ class TwoAdicFriPcs:
             challenger.observe(v)
         alpha_p = challenger.sample()
 
-        num_levels = log_lde - fri_cfg.log_blowup - fri_cfg.log_final_poly_len
-        if len(fri_proof.commit_roots) != max(num_levels - 1, 0):
+        plan, final_size = self._round_plan(n_lde)
+        n_committed = sum(1 for p in plan if p[2])
+        if len(fri_proof.commit_roots) != n_committed:
             raise VerificationError("wrong number of FRI commitments")
         betas = []
-        for li in range(num_levels):
+        ci = 0
+        for _size_r, _arity, committed in plan:
             betas.append(challenger.sample())
-            if li < num_levels - 1:
-                challenger.observe(fri_proof.commit_roots[li])
+            if committed:
+                challenger.observe(fri_proof.commit_roots[ci])
+                ci += 1
         self._replay_tail(fri_proof, challenger)
+        a0 = plan[0][1] if plan else 2
+        seg0 = n_lde // a0
         indices = [
-            challenger.sample_bits(log_lde - 1)
+            challenger.sample_bits(log_lde - (a0.bit_length() - 1))
             for _ in range(fri_cfg.num_queries)
         ]
+        # round r >= 1 reads committed tree r-1: grouping = round r's arity
+        groupings = [plan[r][1] for r in range(1, len(plan))]
 
         # Merkle openings: one vectorized host sweep for every query
-        half0 = n_lde // 2
         merkle_requests = []
         for qi, idx in enumerate(indices):
             qp = fri_proof.query_proofs[qi]
             if len(qp.input_openings) != 2 or any(
-                len(pair) != 2 for pair in qp.input_openings
+                len(group) != a0 for group in qp.input_openings
             ):
                 raise VerificationError("malformed input openings")
-            (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
-            merkle_requests.append((trace_root, (n_lde, w), t_lo))
-            merkle_requests.append((trace_root, (n_lde, w), t_hi))
-            merkle_requests.append((quotient_root, (n_lde, n_chunks), q_lo))
-            merkle_requests.append((quotient_root, (n_lde, n_chunks), q_hi))
-            if len(qp.commit_openings) != max(num_levels - 1, 0):
+            t_ops, q_ops = qp.input_openings
+            for k in range(a0):
+                want = idx + k * seg0
+                if t_ops[k].index != want or q_ops[k].index != want:
+                    raise VerificationError("opening index mismatch")
+                merkle_requests.append((trace_root, (n_lde, w), t_ops[k]))
+                merkle_requests.append(
+                    (quotient_root, (n_lde, n_chunks), q_ops[k])
+                )
+            if len(qp.commit_openings) != n_committed:
                 raise VerificationError("malformed fold openings")
-            size_q = half0
-            for li in range(1, num_levels):
-                lv_half = size_q // 2
+            size_q = n_lde // a0
+            for r, g in enumerate(groupings):
+                lc = size_q // g
                 merkle_requests.append(
                     (
-                        fri_proof.commit_roots[li - 1],
-                        (lv_half, 2),
-                        qp.commit_openings[li - 1],
+                        fri_proof.commit_roots[r],
+                        (lc, g),
+                        qp.commit_openings[r],
                     )
                 )
-                size_q = lv_half
+                size_q //= g
         if not mmcs.verify_openings_batch(merkle_requests, self.hasher):
             raise VerificationError("Merkle opening failed")
 
         for qi, idx in enumerate(indices):
             qp = fri_proof.query_proofs[qi]
-            (t_lo, t_hi), (q_lo, q_hi) = qp.input_openings
-            for opening, want_idx in (
-                (t_lo, idx),
-                (t_hi, idx + half0),
-                (q_lo, idx),
-                (q_hi, idx + half0),
-            ):
-                if opening.index != want_idx:
-                    raise VerificationError("opening index mismatch")
-
-            x_lo = oracle.mul(self.shift, pow(omega_lde, idx, R_MOD))
-            f_lo = _reduced_at(
-                x_lo, t_lo.rows[0], q_lo.rows[0], zeta, zeta_next,
-                trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, alpha_p,
-            )
-            f_hi = _reduced_at(
-                oracle.neg(x_lo), t_hi.rows[0], q_hi.rows[0], zeta, zeta_next,
-                trace_at_zeta, trace_at_zeta_next, chunks_at_zeta, alpha_p,
-            )
-
-            v = fold_pair_int(f_lo, f_hi, x_lo, betas[0])
+            t_ops, q_ops = qp.input_openings
+            x0 = oracle.mul(self.shift, pow(omega_lde, idx, R_MOD))
+            i_fac = pow(omega_lde, seg0, R_MOD)
+            vals = []
+            x_k = x0
+            for k in range(a0):
+                vals.append(
+                    _reduced_at(
+                        x_k, t_ops[k].rows[0], q_ops[k].rows[0], zeta,
+                        zeta_next, trace_at_zeta, trace_at_zeta_next,
+                        chunks_at_zeta, alpha_p,
+                    )
+                )
+                x_k = oracle.mul(x_k, i_fac)
+            v = _fold_arity_int(vals, x0, i_fac, betas[0])
             pos = idx
-            cur_shift = (self.shift * self.shift) % R_MOD
-            cur_omega = (omega_lde * omega_lde) % R_MOD
-            size = half0
-            for li in range(1, num_levels):
-                lv_half = size // 2
-                p = pos % lv_half
-                op = qp.commit_openings[li - 1]
+            cur_shift = pow(self.shift, a0, R_MOD)
+            cur_omega = pow(omega_lde, a0, R_MOD)
+            size = n_lde // a0
+            for r, g in enumerate(groupings):
+                lc = size // g
+                p = pos % lc
+                op = qp.commit_openings[r]
                 if op.index != p:
                     raise VerificationError("fold opening index mismatch")
-                lo_v, hi_v = op.rows[0]
-                expect = lo_v if pos < lv_half else hi_v
-                if v != expect:
+                row = op.rows[0]
+                if row[pos // lc] != v:
                     raise VerificationError(
-                        f"fold consistency failed (query {qi}, level {li})"
+                        f"fold consistency failed (query {qi}, round {r + 1})"
                     )
                 x_p = oracle.mul(cur_shift, pow(cur_omega, p, R_MOD))
-                v = fold_pair_int(lo_v, hi_v, x_p, betas[li])
+                v = _fold_arity_int(
+                    row, x_p, pow(cur_omega, lc, R_MOD), betas[r + 1]
+                )
                 pos = p
-                cur_shift = (cur_shift * cur_shift) % R_MOD
-                cur_omega = (cur_omega * cur_omega) % R_MOD
-                size = lv_half
+                cur_shift = pow(cur_shift, g, R_MOD)
+                cur_omega = pow(cur_omega, g, R_MOD)
+                size = lc
 
             x_fin = oracle.mul(cur_shift, pow(cur_omega, pos, R_MOD))
             acc = 0
@@ -987,6 +1176,20 @@ class TwoAdicFriPcs:
             raise VerificationError("Merkle opening failed")
 
 
+def _fold_arity_int(vals: list, x0: int, i_fac: int, beta: int) -> int:
+    """Scalar arity-2/4 fold of [f(x0·i_fac^k)] with challenge β (the
+    verifier-side mirror of one native FRI round; arity 4 = the two chained
+    arity-2 folds with β, β²)."""
+    if len(vals) == 2:
+        return fold_pair_int(vals[0], vals[1], x0, beta)
+    assert len(vals) == 4
+    g_lo = fold_pair_int(vals[0], vals[2], x0, beta)
+    g_hi = fold_pair_int(vals[1], vals[3], oracle.mul(x0, i_fac), beta)
+    return fold_pair_int(
+        g_lo, g_hi, oracle.mul(x0, x0), oracle.mul(beta, beta)
+    )
+
+
 def _reduced_at(x, trace_row, quot_row, zeta, zeta_next, trace_at_zeta,
                 trace_at_zeta_next, chunks_at_zeta, alpha_p) -> int:
     """Reduced-codeword value at point x from opened rows (the verifier-side
@@ -1048,21 +1251,28 @@ class _HostTail:
         return npp.fold_vec(state, beta, shift_int, omega_int)
 
     def commit_halves(self, state, bit_reverse: bool):
-        """Commit the halves pairing of the codeword; returns (tree, root).
-        Leaf digest j = compress(f[j], f[j+half]); p3 stores the digest
-        layer bit-reversed (with the matching row permutation)."""
+        """Arity-2 grouping (the p3 ladder's per-level commitment)."""
+        return self.commit_grouped(state, 2, bit_reverse)
+
+    def commit_grouped(self, state, arity: int, bit_reverse: bool):
+        """Commit the arity-grouping of the codeword; returns (tree, root).
+        Leaf j hashes [f(j), f(j+n/a), ...] (the next round's fold inputs);
+        p3 stores the digest layer bit-reversed (with the matching row
+        permutation)."""
         n = len(state)
-        half = n // 2
+        half = n // arity  # leaf count
         params = getattr(self.hasher, "params", None)
         if self.native or self.native_kc:
-            lo, hi = state[:half], state[half:]
+            cols = np.stack(
+                [state[k * half : (k + 1) * half] for k in range(arity)]
+            )  # (arity, half, 4)
             if self.native:
-                d = ne.compress(lo, hi, params)
+                d = ne.hash_columns(cols, params)
             else:
-                d = ne.kc_compress(lo, hi)
+                d = ne.kc_hash_columns(cols)
             halves_dev = jnp.asarray(
-                ne.u64_to_planes(ne.to_mont(np.concatenate([lo, hi])))
-            ).reshape(NUM_LIMBS, 2, half)
+                ne.u64_to_planes(ne.to_mont(np.asarray(state)))
+            ).reshape(NUM_LIMBS, arity, half)
             if bit_reverse and half > 1:
                 d = d[_bitrev_table(half)]
             if half > 1:
@@ -1078,15 +1288,17 @@ class _HostTail:
         elif self.native_field:
             # engine exists but unknown hasher: field ops native, hashing
             # scalar over ints
-            lo_i = ne.u64_to_ints(state[:half])
-            hi_i = ne.u64_to_ints(state[half:])
+            ints = ne.u64_to_ints(state)
+            rows = [
+                [ints[k * half + j] for k in range(arity)]
+                for j in range(half)
+            ]
             d = np.array(
-                [self.hasher.compress_ints(a, b) for a, b in zip(lo_i, hi_i)],
-                dtype=object,
+                [self.hasher.hash_ints(r) for r in rows], dtype=object
             )
             halves_dev = jnp.asarray(
-                fr.pack_ints(lo_i + hi_i)
-            ).reshape(NUM_LIMBS, 2, half)
+                fr.pack_ints(ints)
+            ).reshape(NUM_LIMBS, arity, half)
             if bit_reverse and half > 1:
                 d = d[_bitrev_table(half)]
             lv = [d]
@@ -1109,20 +1321,21 @@ class _HostTail:
         else:
             from ..hash import np_poseidon2 as npp
 
-            lo, hi = state[:half], state[half:]
-            if isinstance(self.hasher, Poseidon2Hasher):
-                d = npp.compress_vec(lo, hi, params)
+            if arity == 2 and isinstance(self.hasher, Poseidon2Hasher):
+                d = npp.compress_vec(state[:half], state[half:], params)
             else:
                 d = np.array(
                     [
-                        self.hasher.compress_ints(int(a), int(b))
-                        for a, b in zip(lo, hi)
+                        self.hasher.hash_ints(
+                            [int(state[k * half + j]) for k in range(arity)]
+                        )
+                        for j in range(half)
                     ],
                     dtype=object,
                 )
             halves_dev = jnp.asarray(
                 fr.pack_ints([int(v) for v in state])
-            ).reshape(NUM_LIMBS, 2, half)
+            ).reshape(NUM_LIMBS, arity, half)
             if bit_reverse and half > 1:
                 d = d[_bitrev_table(half)]
             if isinstance(self.hasher, Poseidon2Hasher):
@@ -1148,6 +1361,7 @@ class _HostTail:
         tree = mmcs.MerkleTree(
             [halves_dev], [0], levels, self.hasher, None,
             row_perm=_bitrev_table(half) if bit_reverse else None,
+            root_cache=root,
         )
         return tree, root
 

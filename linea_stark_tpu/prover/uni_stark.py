@@ -171,10 +171,20 @@ def compute_quotient(
     # Strided slices keep the big n axis minor-most: a reshape to
     # (..., n, blowup) would make the tiny blowup axis minor and TPU tiling
     # pads minor dims to 128 lanes — an 8-64x padded transposed copy that
-    # OOMs HBM at the 2^19 workload.
-    sub = jnp.stack(
-        [trace_lde[..., i::blowup] for i in range(c)], axis=2
-    )  # (16, W, C, n)
+    # OOMs HBM at the 2^19 workload.  A streamed (LazyLde) trace derives
+    # each coset's evals from the retained coefficients instead (position
+    # j ≡ i mod blowup of the natural-order LDE is coset shift·ω_lde^i·H_n
+    # in natural order).
+    from ..pcs.streaming import LazyLde
+
+    if isinstance(trace_lde, LazyLde):
+        sub = jnp.stack(
+            [trace_lde.coset_evals(i) for i in range(c)], axis=2
+        )
+    else:
+        sub = jnp.stack(
+            [trace_lde[..., i::blowup] for i in range(c)], axis=2
+        )  # (16, W, C, n)
 
     # Challenges may be host ints (single-chip eager path) or (16,) device
     # scalars (the sharded jitted path — baking them as trace constants
