@@ -318,8 +318,12 @@ def ntt_pallas(x: jax.Array, inverse: bool = False) -> jax.Array:
     c = 1
     for sdim in batch:
         c *= sdim
-    if 1 < c < _CANON_BATCH:
-        c_pad = _CANON_BATCH  # share one program set across small callers
+    if 1 < c < _CANON_BATCH and c * n <= 1 << 24:
+        # share one program set across small callers — but never at huge
+        # transforms, where padding the batch axis costs gigabytes of HBM
+        # for compile-cache sharing that no longer matters (the 2^24-point
+        # streamed-group derive OOMed on exactly this)
+        c_pad = _CANON_BATCH
     elif c > _CANON_BATCH and c & (c - 1):
         # round odd larger batches up to the next power of two so variable
         # batch counts collapse onto a few program sets (round-3 advisor)

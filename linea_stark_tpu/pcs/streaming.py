@@ -50,10 +50,17 @@ from ..utils.export_cache import export_cached_jit
 import os
 
 STREAM_LDE_BYTES = int(os.environ.get("LINEA_STREAM_LDE_BYTES", 4 << 30))
+# Quotient chunk stacks stream above this (they retain alongside the trace
+# state, so their budget is tighter).
+STREAM_CHUNK_BYTES = int(os.environ.get("LINEA_STREAM_CHUNK_BYTES", 1 << 31))
 
 
 def want_streaming(w: int, n_lde: int) -> bool:
     return w * n_lde * 64 > STREAM_LDE_BYTES
+
+
+def want_chunk_streaming(b: int, n_lde: int) -> bool:
+    return b * n_lde * 64 >= STREAM_CHUNK_BYTES
 
 
 @export_cached_jit(name="trace_coeffs")
@@ -125,21 +132,36 @@ class LazyLde:
 
     def coset_evals(self, coset_index: int) -> jax.Array:
         """Full-width trace evals on coset shift·ω_lde^i·H_n (size n, not
-        n_lde — what the quotient evaluation consumes)."""
+        n_lde — what the quotient evaluation consumes).  Derived per
+        column group with optimization barriers between groups, so the
+        transform transients never coexist (works traced and eager)."""
         n_lde = self.coeffs.shape[-1] << self.log_blowup
         omega_lde = root_of_unity(n_lde.bit_length() - 1)
         shift_i = (self.shift * pow(omega_lde, coset_index, R_MOD)) % R_MOD
-        return _coset_evals_jit(self.coeffs, shift_i)
+        parts = []
+        for c0, c1 in self.groups():
+            cc = self.coeffs[:, c0:c1]
+            if parts:
+                cc = jax.lax.optimization_barrier((cc, parts[-1]))[0]
+            parts.append(_coset_evals_jit(cc, shift_i))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
     def gather_rows(self, indices) -> jax.Array:
-        """(16, W, Q) opened rows at ``indices`` (device array)."""
+        """(16, W, Q) opened rows at ``indices`` (device array).  One
+        COLUMN per derive program — by the query phase the retained set
+        (coefficients, digest levels, fold trees) leaves no room for a
+        multi-column transform."""
         idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
-        parts = [
-            _group_rows_jit(
-                self.coeffs[:, c0:c1], idx, self.log_blowup, self.shift
+        parts = []
+        for c0 in range(self.width):
+            parts.append(
+                hard_sync(
+                    _group_rows_jit(
+                        self.coeffs[:, c0 : c0 + 1], idx, self.log_blowup,
+                        self.shift,
+                    )
+                )
             )
-            for c0, c1 in self.groups()
-        ]
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
@@ -153,12 +175,43 @@ def _lazy_unflatten(aux, children):
 
 jax.tree_util.register_pytree_node(LazyLde, _lazy_flatten, _lazy_unflatten)
 
+try:  # let jax.export serialize programs taking a LazyLde (export cache)
+    import json as _json
+
+    jax.export.register_pytree_node_serialization(
+        LazyLde,
+        serialized_name="linea_stark_tpu.pcs.streaming.LazyLde",
+        serialize_auxdata=lambda aux: _json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda b: tuple(_json.loads(bytes(b))),
+    )
+except Exception:  # older jax: the export cache falls back to plain jit
+    pass
+
+
+def hard_sync(x):
+    """True barrier on the remote (axon) runtime — ``block_until_ready``
+    returns before execution completes there, so a 1-element fetch is the
+    only reliable sync.  Used between streamed-height phases: without it
+    the next multi-GB program's workspace is allocated while the previous
+    one is still executing, and the two peaks together exhaust HBM."""
+    np.asarray(x[(slice(0, 1),) * x.ndim])
+    return x
+
+
+def default_group(n_lde: int) -> int:
+    """Columns per derived group: bytes ≈ g · n_lde · 64 ≤ ~1 GB (the
+    derive program additionally holds ~3 group-sized NTT stage buffers);
+    kept even so the rate-2 sponge chain never straddles a boundary
+    mid-permutation."""
+    return max(2, (1 << 24) // n_lde * 2)
+
 
 def make_lazy_lde(trace: jax.Array, log_blowup: int, shift: int) -> LazyLde:
     n_lde = trace.shape[-1] << log_blowup
-    # group bytes ≈ g · n_lde · 64 ≤ ~2 GB; keep g even for the sponge chain
-    g = max(2, (1 << 25) // n_lde * 2)
-    return LazyLde(_coeffs_jit(trace), log_blowup, shift, g)
+    return LazyLde(
+        hard_sync(_coeffs_jit(trace)), log_blowup, shift,
+        default_group(n_lde),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +252,7 @@ def streamed_leaf_digests(lazy: LazyLde, params) -> jax.Array:
                 state = perm(a, state[1], state[2])
             i += 2
         cols = None
+        hard_sync(state[0])  # one group's derive+absorb in flight at a time
     return state[0]
 
 
@@ -207,17 +261,15 @@ def streamed_leaf_digests(lazy: LazyLde, params) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@export_cached_jit(name="open_denoms")
-def _denoms_jit(zeta_s, zeta_next_s, x_vec):
-    """(16, 2, n_lde) inverses of (ζ−x, ζ·g−x)."""
-    shape = x_vec.shape
-    zb = jnp.broadcast_to(zeta_s[:, None], shape)
-    znb = jnp.broadcast_to(zeta_next_s[:, None], shape)
-    return fo.batch_inverse(
-        jnp.stack([fo.sub(zb, x_vec), fo.sub(znb, x_vec)], axis=1).reshape(
-            NUM_LIMBS, 2 * shape[-1]
-        )
-    ).reshape(NUM_LIMBS, 2, shape[-1])
+@export_cached_jit(name="open_denom_single",
+                   static_argnames=("omega", "shift", "n"))
+def _denom_single_jit(z_s, omega: int, shift: int, n: int):
+    """(16, n) inverses of (z−x) over x = shift·ω^i — ONE opening point per
+    program, domain vector built in-program (the two-point stacked version
+    plus a retained x_vec broke the streamed heights' HBM budget)."""
+    x_vec = fo.mul_const(fo.powers(omega, n), shift)
+    zb = jnp.broadcast_to(z_s[:, None], x_vec.shape)
+    return fo.batch_inverse(fo.sub(zb, x_vec))
 
 
 def _block_sums(mat, u):
@@ -240,26 +292,32 @@ def _block_sums(mat, u):
 
 
 @export_cached_jit(name="group_open_partials",
-                   static_argnames=("log_blowup", "shift"))
-def _group_open_partials_jit(coeffs_g, di, x_vec, log_blowup: int, shift: int):
+                   static_argnames=("log_blowup", "shift", "omega"))
+def _group_open_partials_jit(coeffs_g, di0, di1, log_blowup: int,
+                             shift: int, omega: int):
     """Derive a group's evals and return its barycentric block partials
-    (pa, pb) = Σ p(x)·x/(ζ−x), Σ p(x)·x/(ζg−x) as (16, g, 128) raw sums."""
+    (pa, pb) = Σ p(x)·x/(ζ−x), Σ p(x)·x/(ζg−x) as (16, g, 128) raw sums
+    (domain vector x built in-program)."""
     evals = coeffs_to_evals(pad_coeffs(coeffs_g, log_blowup), shift)
-    u0 = fo.mul(x_vec, di[:, 0])
-    u1 = fo.mul(x_vec, di[:, 1])
+    x_vec = fo.mul_const(fo.powers(omega, evals.shape[-1]), shift)
+    u0 = fo.mul(x_vec, di0)
+    u1 = fo.mul(x_vec, di1)
     return _block_sums(evals, u0), _block_sums(evals, u1)
 
 
-@export_cached_jit(name="chunk_open_partials")
-def _chunk_open_partials_jit(chunk_stack, di, x_vec):
-    """Barycentric block partials of the (materialized) quotient chunk
-    stack at ζ: (16, B, 128)."""
-    u0 = fo.mul(x_vec, di[:, 0])
-    return _block_sums(chunk_stack, u0)
+@export_cached_jit(name="mat_open_partials",
+                   static_argnames=("omega", "shift"))
+def _mat_open_partials_jit(mat, di0, di1, omega: int, shift: int):
+    """Barycentric block partials of a materialized (16, W, n_lde) matrix
+    at both ζ and ζ·g: ((16, W, 128), (16, W, 128))."""
+    x_vec = fo.mul_const(fo.powers(omega, mat.shape[-1]), shift)
+    u0 = fo.mul(x_vec, di0)
+    u1 = fo.mul(x_vec, di1)
+    return _block_sums(mat, u0), _block_sums(mat, u1)
 
 
 @export_cached_jit(name="chunk_reduce_partial")
-def _chunk_reduce_partial_jit(chunk_stack, di, kpow_c, gconst_c, f0_in):
+def _chunk_reduce_partial_jit(chunk_stack, di0, kpow_c, gconst_c, f0_in):
     """Accumulate the chunk columns' contribution to the reduced codeword
     (they open at ζ only; kpow_c: (16, B), gconst_c: (16,))."""
     f0 = f0_in
@@ -269,28 +327,28 @@ def _chunk_reduce_partial_jit(chunk_stack, di, kpow_c, gconst_c, f0_in):
         num = t if num is None else fo.add(num, t)
     cb = jnp.broadcast_to(gconst_c[:, None], num.shape)
     num = fo.sub(num, cb)
-    return fo.add(f0, fo.mul(num, di[:, 0]))
+    return fo.add(f0, fo.mul(num, di0))
 
 
 @export_cached_jit(name="group_reduce_partial",
                    static_argnames=("log_blowup", "shift"))
-def _group_reduce_partial_jit(coeffs_g, di, kpow_g, gconst_pair, f0_in,
+def _group_reduce_partial_jit(coeffs_g, di0, di1, kpow_g, gconst_pair, f0_in,
                               log_blowup: int, shift: int):
     """Accumulate one group's contribution to the reduced codeword:
 
-        f0 += Σ_c kpow_g[0][c]·col_c·di[0] + Σ_c kpow_g[1][c]·col_c·di[1]
-              − gconst_pair[0]·di[0] − gconst_pair[1]·di[1]
+        f0 += Σ_c kpow_g[0][c]·col_c·di0 + Σ_c kpow_g[1][c]·col_c·di1
+              − gconst_pair[0]·di0 − gconst_pair[1]·di1
 
     kpow_g: (16, 2, g) α' powers for (at-ζ, at-ζ·g) of this group's
     columns; gconst_pair: (16, 2) Σ kpow·y over this group's columns."""
     evals = coeffs_to_evals(pad_coeffs(coeffs_g, log_blowup), shift)
     f0 = f0_in
-    for d_idx in (0, 1):
+    for d_idx, di_d in ((0, di0), (1, di1)):
         num = None
         for c in range(evals.shape[1]):
             t = fo.mul_scalar_arr(evals[:, c], kpow_g[:, d_idx, c])
             num = t if num is None else fo.add(num, t)
         cb = jnp.broadcast_to(gconst_pair[:, d_idx][:, None], num.shape)
         num = fo.sub(num, cb)
-        f0 = fo.add(f0, fo.mul(num, di[:, d_idx]))
+        f0 = fo.add(f0, fo.mul(num, di_d))
     return f0

@@ -84,6 +84,38 @@ def _chunk_ldes_jit(chunks, log_blowup: int, shift: int, omega_lde: int):
     return _chunk_ldes_impl(chunks, log_blowup, shift, omega_lde)
 
 
+@export_cached_jit(name="chunk_lde_single",
+                   static_argnames=("log_blowup", "shift", "src_shift"))
+def _chunk_lde_single_jit(chunk, log_blowup: int, shift: int, src_shift: int):
+    """(16, 1, n) chunk evals on coset src_shift·H_n -> (16, 1, n·blowup) on
+    shift·H_big — the one-chunk-at-a-time variant for heights where the
+    batched transform's stage buffers exceed HBM (2^24-point streamed
+    configs)."""
+    return coset_lde(chunk, log_blowup, shift, src_shift_int=src_shift)
+
+
+@export_cached_jit(name="chunk_coeffs",
+                   static_argnames=("shift", "omega_lde"))
+def _chunk_coeffs_jit(chunks, shift: int, omega_lde: int):
+    """(16, B, n) chunk evals on cosets shift·ω^i -> normalized natural
+    coefficients (the first half of :func:`_chunk_ldes_impl`): once each
+    chunk's own coset scale is divided out, ALL chunks share the same
+    pad-and-NTT-to-shift·H_big derivation — which is exactly what
+    :class:`~.streaming.LazyLde` re-runs per group, so the streamed
+    quotient commitment reuses the trace machinery unchanged."""
+    b, n = chunks.shape[1], chunks.shape[-1]
+    coeffs = ntt(chunks, inverse=True, scale=True)
+    inv_shift = pow(shift, R_MOD - 2, R_MOD)
+    inv_omega = pow(omega_lde, R_MOD - 2, R_MOD)
+    cur = _powers_device(inv_shift, n)[:, None, :]
+    size = 1
+    while size < b:
+        r_k = _powers_device(pow(inv_omega, size, R_MOD), n)
+        cur = jnp.concatenate([cur, fo.mul(cur, r_k[:, None, :])], axis=1)
+        size *= 2
+    return fo.mul(coeffs, cur[:, :b])
+
+
 def _chunk_ldes_impl(chunks, log_blowup: int, shift: int, omega_lde: int):
     """(16, B, n) chunk evals on cosets shift·ω^i -> (16, B, n·blowup) on
     shift·H_big; per-chunk inverse-coset scale built by block doubling so
@@ -346,11 +378,17 @@ class TwoAdicFriPcs:
                 levels, br_start, root = mmcs.build_levels_single(
                     d, self.hasher
                 )
+                levels[0] = np.asarray(levels[0])  # spill to host (1 GB)
                 return mmcs.MerkleTree(
                     [mat], [0], levels, self.hasher, br_start,
                     row_perm=_bitrev_table(n), root_cache=root,
                 )
             levels, br_start, root = mmcs.build_levels_single(d, self.hasher)
+            # Spill the leaf-digest level (1 GB at 2^24) to the host until
+            # the query phase re-uploads it — it otherwise sits in HBM
+            # through the open/FRI phases, whose program peaks are within
+            # a gigabyte of the budget.
+            levels[0] = np.asarray(levels[0])
             return mmcs.MerkleTree(
                 [mat], [0], levels, self.hasher, br_start, root_cache=root
             )
@@ -382,7 +420,28 @@ class TwoAdicFriPcs:
         the sharded PCS re-anchors them to the row sharding)."""
         return chunks
 
-    def _chunk_ldes_batched(self, chunks: jax.Array, omega_lde: int) -> jax.Array:
+    def _chunk_ldes_batched(self, chunks: jax.Array, omega_lde: int):
+        from .streaming import LazyLde, default_group, want_chunk_streaming
+
+        b, n = chunks.shape[1], chunks.shape[-1]
+        if want_chunk_streaming(
+            b, n << self.fri.log_blowup
+        ) and isinstance(self.hasher, Poseidon2Hasher):
+            # Streamed heights: don't materialize the chunk LDE at all —
+            # normalize the chunks to shared coefficients and hand the
+            # trace's LazyLde machinery the quotient commitment too (the
+            # materialized 2^24-point stack + its batched transform
+            # exceeded HBM alongside the retained trace state).
+            from .streaming import hard_sync
+
+            hard_sync(chunks)  # quotient eval still executing: serialize
+            coeffs = hard_sync(
+                _chunk_coeffs_jit(chunks, self.shift, omega_lde)
+            )
+            return LazyLde(
+                coeffs, self.fri.log_blowup, self.shift,
+                default_group(n << self.fri.log_blowup),
+            )
         if _fused():
             return _chunk_ldes_jit(
                 chunks, self.fri.log_blowup, self.shift, omega_lde
@@ -416,29 +475,57 @@ class TwoAdicFriPcs:
         the sharded PCS."""
         from .streaming import (
             LazyLde,
-            _chunk_open_partials_jit,
-            _denoms_jit,
+            _denom_single_jit,
             _group_open_partials_jit,
+            _mat_open_partials_jit,
         )
 
         n_lde = trace_lde.shape[-1]
-        if isinstance(trace_lde, LazyLde):
+        if isinstance(trace_lde, LazyLde) or isinstance(chunk_stack, LazyLde):
+            from .streaming import hard_sync
+
+            log_lde = n_lde.bit_length() - 1
+            omega_lde = root_of_unity(log_lde)
             with span("compute_inverse_denominators"):
-                di = _denoms_jit(
-                    _mont_scalar(zeta), _mont_scalar(zeta_next), x_vec
-                )
-            with span("opened values (barycentric, streamed)"):
-                pa_parts, pb_parts = [], []
-                for c0, c1 in trace_lde.groups():
-                    pa_g, pb_g = _group_open_partials_jit(
-                        trace_lde.coeffs[:, c0:c1], di, x_vec,
-                        trace_lde.log_blowup, trace_lde.shift,
+                # one opening point per program, domain built in-program —
+                # the stacked two-point inversion plus a retained x_vec
+                # broke the HBM budget
+                di0 = hard_sync(
+                    _denom_single_jit(
+                        _mont_scalar(zeta), omega_lde, self.shift, n_lde
                     )
-                    pa_parts.append(pa_g)
-                    pb_parts.append(pb_g)
-                pa = jnp.concatenate(pa_parts, axis=1)
-                pb = jnp.concatenate(pb_parts, axis=1)
-                pc = _chunk_open_partials_jit(chunk_stack, di, x_vec)
+                )
+                di1 = hard_sync(
+                    _denom_single_jit(
+                        _mont_scalar(zeta_next), omega_lde, self.shift, n_lde
+                    )
+                )
+                di = (di0, di1)
+
+            def _partials(mat):
+                """[(pa, pb)] block partials of a matrix, lazy or not."""
+                if isinstance(mat, LazyLde):
+                    parts = []
+                    # one COLUMN at a time: the 2-column derive + both
+                    # weight vectors peaked ~1 GB over budget at 2^24
+                    for c0 in range(mat.shape[1]):
+                        p = _group_open_partials_jit(
+                            mat.coeffs[:, c0 : c0 + 1], di0, di1,
+                            mat.log_blowup, mat.shift, omega_lde,
+                        )
+                        hard_sync(p[0])  # one derive in flight
+                        parts.append(p)
+                    return (
+                        jnp.concatenate([p[0] for p in parts], axis=1),
+                        jnp.concatenate([p[1] for p in parts], axis=1),
+                    )
+                return _mat_open_partials_jit(
+                    mat, di0, di1, omega_lde, self.shift
+                )
+
+            with span("opened values (barycentric, streamed)"):
+                pa, pb = _partials(trace_lde)
+                pc, _ = _partials(chunk_stack)
                 trace_at_zeta = _finish_opened(pa, zeta, n_lde, self.shift)
                 trace_at_zeta_next = _finish_opened(
                     pb, zeta_next, n_lde, self.shift
@@ -491,44 +578,67 @@ class TwoAdicFriPcs:
         )
 
         n_lde = trace_lde.shape[-1]
-        if isinstance(trace_lde, LazyLde):
+        if isinstance(trace_lde, LazyLde) or isinstance(chunk_stack, LazyLde):
             w = trace_lde.shape[1]
             n_chunks = chunk_stack.shape[1]
             ys_all = trace_at_zeta + trace_at_zeta_next + chunks_at_zeta
             kpows = [pow(alpha_p, k, R_MOD) for k in range(len(ys_all))]
-            f0 = fr.zeros((n_lde,))
-            for c0, c1 in trace_lde.groups():
-                kp = [kpows[c0:c1], kpows[w + c0 : w + c1]]
-                gconst = [
-                    functools.reduce(
-                        oracle.add,
-                        (
-                            oracle.mul(k_, y_)
-                            for k_, y_ in zip(
-                                kp[d], ys_all[d * w + c0 : d * w + c1]
-                            )
-                        ),
-                        0,
-                    )
-                    for d in (0, 1)
-                ]
-                f0 = _group_reduce_partial_jit(
-                    trace_lde.coeffs[:, c0:c1], di,
-                    jnp.asarray(fr.pack_ints(kp[0] + kp[1])).reshape(
-                        NUM_LIMBS, 2, c1 - c0
-                    ),
-                    jnp.asarray(fr.pack_ints(gconst)),
-                    f0, trace_lde.log_blowup, trace_lde.shift,
+
+            def _gconst(kp, ys):
+                return functools.reduce(
+                    oracle.add,
+                    (oracle.mul(k_, y_) for k_, y_ in zip(kp, ys)),
+                    0,
                 )
-            kc = kpows[2 * w :]
-            gc = functools.reduce(
-                oracle.add,
-                (oracle.mul(k_, y_) for k_, y_ in zip(kc, chunks_at_zeta)),
-                0,
+
+            def _accumulate(f0, mat, kp_pair, ys_pair):
+                """Add Σ_d di[d]·(Σ_c kp[d][c]·col_c − Σ kp·y) for a lazy
+                matrix (per group) or a materialized one (one program)."""
+                if isinstance(mat, LazyLde):
+                    from .streaming import hard_sync
+
+                    for c0 in range(mat.shape[1]):  # one column per program
+                        c1 = c0 + 1
+                        kp = [kp_pair[0][c0:c1], kp_pair[1][c0:c1]]
+                        gconst = [
+                            _gconst(kp[d], ys_pair[d][c0:c1]) for d in (0, 1)
+                        ]
+                        f0 = hard_sync(_group_reduce_partial_jit(
+                            mat.coeffs[:, c0:c1], di[0], di[1],
+                            jnp.asarray(fr.pack_ints(kp[0] + kp[1])).reshape(
+                                NUM_LIMBS, 2, c1 - c0
+                            ),
+                            jnp.asarray(fr.pack_ints(gconst)),
+                            f0, mat.log_blowup, mat.shift,
+                        ))
+                    return f0
+                return _chunk_reduce_partial_jit(
+                    mat, di[0], jnp.asarray(fr.pack_ints(kp_pair[0])),
+                    jnp.asarray(fr.pack_ints([_gconst(kp_pair[0],
+                                                      ys_pair[0])]))[:, 0],
+                    f0,
+                )
+
+            # The trace streams at 4 GB (env-tunable) and the quotient at
+            # 2 GB hardcoded; since the trace is always ≥ 2× the chunk
+            # bytes, a lazy quotient implies a lazy trace — the
+            # materialized-matrix accumulate below handles ζ-only columns.
+            assert isinstance(trace_lde, LazyLde), (
+                "streamed quotient with materialized trace: raise "
+                "LINEA_STREAM_LDE_BYTES consistency"
             )
-            return _chunk_reduce_partial_jit(
-                chunk_stack, di, jnp.asarray(fr.pack_ints(kc)),
-                jnp.asarray(fr.pack_ints([gc]))[:, 0], f0,
+            f0 = fr.zeros((n_lde,))
+            f0 = _accumulate(
+                f0, trace_lde,
+                (kpows[:w], kpows[w : 2 * w]),
+                (trace_at_zeta, trace_at_zeta_next),
+            )
+            # chunks open at ζ only: when lazy, the ζ·g half rides zero
+            # coefficients (its term vanishes; reuses the same program)
+            zero_kp = [0] * n_chunks
+            return _accumulate(
+                f0, chunk_stack, (kpows[2 * w :], zero_kp),
+                (chunks_at_zeta, zero_kp),
             )
         if _fused():
             w = trace_lde.shape[1]
@@ -584,7 +694,20 @@ class TwoAdicFriPcs:
         omega_lde = root_of_unity(log_lde)
 
         with span("open"):
-            x_vec = fo.mul_const(_powers_device(omega_lde, n_lde), self.shift)
+            from .streaming import LazyLde as _LazyLde
+
+            streamed = isinstance(trace_lde, _LazyLde) or isinstance(
+                chunk_stack, _LazyLde
+            )
+            # streamed heights build the domain vector inside each program
+            # instead of retaining a 1 GB table across the phase
+            x_vec = (
+                None
+                if streamed
+                else fo.mul_const(
+                    _powers_device(omega_lde, n_lde), self.shift
+                )
+            )
             (
                 di,
                 trace_at_zeta,
@@ -610,6 +733,9 @@ class TwoAdicFriPcs:
                     trace_lde, chunk_stack, di, alpha_p,
                     (trace_at_zeta, trace_at_zeta_next, chunks_at_zeta),
                 )
+            # the denominators/domain vectors (3 GB at streamed heights)
+            # would otherwise stay live through the whole FRI ladder
+            del di, x_vec
 
         with span("FRI prover"):
             if self.transcript == "p3":

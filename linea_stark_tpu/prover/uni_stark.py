@@ -72,13 +72,17 @@ from .proof import Proof
 
 
 @export_cached_jit(name="quotient",
-                   static_argnames=("air", "n", "shift", "n_chunks"))
-def _quotient_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks):
+                   static_argnames=("air", "n", "shift", "n_chunks",
+                                    "coset0"))
+def _quotient_jit(trace_lde, air, alpha_s, delta_s, gamma_s, n, shift,
+                  n_chunks, coset0=0):
     """Whole quotient evaluation as ONE program (challenges as (16,)
     Montgomery device scalars so no per-proof retrace; LineaAir is frozen
-    and rides as a jit static)."""
+    and rides as a jit static).  Streamed heights call it once per coset
+    (``coset0``) so each program's working set stays single-coset."""
     return compute_quotient(
-        trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks
+        trace_lde, air, alpha_s, delta_s, gamma_s, n, shift, n_chunks,
+        coset0,
     )
 
 
@@ -142,6 +146,7 @@ def compute_quotient(
     n: int,
     shift: int,
     n_chunks: int = None,
+    coset0: int = 0,
 ) -> jax.Array:
     """Vectorized constraint evaluation -> quotient evals, coset-major.
 
@@ -174,14 +179,36 @@ def compute_quotient(
     # OOMs HBM at the 2^19 workload.  A streamed (LazyLde) trace derives
     # each coset's evals from the retained coefficients instead (position
     # j ≡ i mod blowup of the natural-order LDE is coset shift·ω_lde^i·H_n
-    # in natural order).
+    # in natural order) and evaluates ONE COSET AT A TIME — the stacked
+    # (16, W, C, n) view alone is gigabytes at the streamed heights.
     from ..pcs.streaming import LazyLde
 
     if isinstance(trace_lde, LazyLde):
-        sub = jnp.stack(
-            [trace_lde.coset_evals(i) for i in range(c)], axis=2
-        )
+        if c > 1:
+            parts = []
+            for i in range(c):
+                lde_i = trace_lde
+                if parts:
+                    # serialize the per-coset subgraphs: they are
+                    # data-independent, and XLA's scheduler otherwise
+                    # overlaps them — two ~13 GB working sets at once
+                    coeffs_b = jax.lax.optimization_barrier(
+                        (trace_lde.coeffs, parts[-1])
+                    )[0]
+                    lde_i = LazyLde(
+                        coeffs_b, trace_lde.log_blowup, trace_lde.shift,
+                        trace_lde.group,
+                    )
+                parts.append(
+                    compute_quotient(
+                        lde_i, air, alpha, delta, gamma, n, shift,
+                        n_chunks=1, coset0=i,
+                    )
+                )
+            return jnp.concatenate(parts, axis=1)
+        sub = trace_lde.coset_evals(coset0)[:, :, None, :]
     else:
+        assert coset0 == 0
         sub = jnp.stack(
             [trace_lde[..., i::blowup] for i in range(c)], axis=2
         )  # (16, W, C, n)
@@ -198,9 +225,15 @@ def compute_quotient(
     alpha_d = _bcast(alpha)
     delta_d = _bcast(delta)
 
-    rolled = jnp.roll(sub, -1, axis=-1)
+    # `next` row = cyclic shift by one position along each coset's own
+    # n-point axis.  Materialized lazily PER COLUMN (a concat of two
+    # slices) instead of rolling the whole (16, W, C, n) table — the full
+    # rolled copy alone is gigabytes at streamed heights.
     local = lambda i: sub[:, i]
-    nxt = lambda i: rolled[:, i]
+
+    def nxt(i):
+        col = sub[:, i]
+        return jnp.concatenate([col[..., 1:], col[..., :1]], axis=-1)
 
     acc = {s: None for s in Sel}
     gk = 1 if isinstance(gamma, int) else fr.ones(())
@@ -214,8 +247,9 @@ def compute_quotient(
         acc[sel] = term if acc[sel] is None else fo.add(acc[sel], term)
         gk = gk_next
 
-    # Domain: x[i, t] = shift·ω_lde^i·ω_n^t (coset i, position t).
-    coset_shifts = fo.mul_const(_powers_device(omega_lde, c), shift)  # (16, C)
+    # Domain: x[i, t] = shift·ω_lde^{coset0+i}·ω_n^t (coset i, position t).
+    shift_eff = (shift * pow(omega_lde, coset0, R_MOD)) % R_MOD
+    coset_shifts = fo.mul_const(_powers_device(omega_lde, c), shift_eff)
     x_vec = fo.mul(coset_shifts[:, :, None], _powers_device(omega_n, n)[:, None, :])
     # Z_H(x) = x^n − 1 is constant on each coset.
     s_n = pow(shift, n, R_MOD)
@@ -223,7 +257,11 @@ def compute_quotient(
     inv_z = jnp.asarray(
         fr.pack_ints(
             [
-                oracle.inv(oracle.sub(oracle.mul(s_n, pow(omega_b, i, R_MOD)), 1))
+                oracle.inv(
+                    oracle.sub(
+                        oracle.mul(s_n, pow(omega_b, coset0 + i, R_MOD)), 1
+                    )
+                )
                 for i in range(c)
             ]
         )
@@ -294,7 +332,29 @@ def prove(
     # --- quotient ----------------------------------------------------------
     n_chunks = quotient_chunk_count(config, air)
     with span("compute quotient polynomial", dims=f"{n_chunks}x{n}"):
-        if _fused():
+        from ..pcs.streaming import LazyLde, hard_sync
+
+        if _fused() and isinstance(trace_data.lde, LazyLde):
+            # streamed heights: ONE PROGRAM PER COSET with a hard sync
+            # between — a single fused program's per-coset subgraphs (or
+            # two queued programs) put two ~7 GB working sets in HBM at
+            # once
+            parts = []
+            for i in range(n_chunks):
+                parts.append(
+                    hard_sync(
+                        _quotient_jit(
+                            trace_data.lde, air,
+                            _mont_scalar(alpha), _mont_scalar(delta),
+                            _mont_scalar(gamma), n, config.coset_shift, 1, i,
+                        )
+                    )
+                )
+            chunks = (
+                parts[0] if n_chunks == 1
+                else jnp.concatenate(parts, axis=1)
+            )
+        elif _fused():
             chunks = _quotient_jit(
                 trace_data.lde, air,
                 _mont_scalar(alpha), _mont_scalar(delta), _mont_scalar(gamma),

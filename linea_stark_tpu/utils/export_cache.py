@@ -92,6 +92,14 @@ def export_cached_jit(*, name: str, static_argnames=(), donate_argnums=()):
                     (k, bound.arguments[k]) for k in static_argnames
                 )
                 arrs = [bound.arguments[k] for k in arg_names]
+                if any(
+                    isinstance(l, jax.core.Tracer)
+                    for a in arrs
+                    for l in jax.tree_util.tree_leaves(a)
+                ):
+                    # nested inside another trace: inline via plain jit
+                    # (an exported module can't be built from tracers)
+                    return jitted(*args, **kwargs)
                 key = (
                     statics,
                     tuple((v.shape, str(v.dtype)) for v in arrs),

@@ -35,7 +35,14 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", f".jax_cache-{_sig}"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Admission threshold 5 s: the round-4/5 in-process segfaults (RC=139) die
+# in XLA-CPU's `backend.deserialize_executable` while LOADING a cached
+# executable of a small eagerly-dispatched program (scan primitives) — even
+# from a freshly rebuilt cache, so it is an XLA deserialize bug, not
+# corruption.  Keeping quick-compiling programs out of the cache sidesteps
+# the fragile entries while the expensive fused programs (minutes of
+# XLA-CPU compile each) still ride the cache.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 

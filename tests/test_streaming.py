@@ -68,3 +68,53 @@ def test_streamed_group_boundaries(monkeypatch):
     streamed = prove(cfg, built.air, built.matrix, [alpha, delta],
                      HashChallenger())
     assert streamed.to_bytes() == baseline.to_bytes()
+
+
+def test_per_chunk_lde_matches_batched():
+    """The streamed-height per-chunk LDE programs (chunk_lde_single) must
+    produce exactly the batched transform's values (pcs/two_adic_fri.py
+    _chunk_ldes_batched's size-gated split)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linea_stark_tpu.field import fr
+    from linea_stark_tpu.field.constants import COSET_SHIFT, R_MOD
+    from linea_stark_tpu.ntt.ntt import root_of_unity
+    from linea_stark_tpu.pcs.two_adic_fri import (
+        _chunk_lde_single_jit,
+        _chunk_ldes_impl,
+    )
+
+    n, b, log_blowup = 64, 2, 2
+    omega_lde = root_of_unity((n.bit_length() - 1) + log_blowup)
+    vals = [rng.randrange(R_MOD) for _ in range(b * n)]
+    chunks = jnp.asarray(fr.pack_ints(vals)).reshape(16, b, n)
+    want = np.asarray(
+        _chunk_ldes_impl(chunks, log_blowup, COSET_SHIFT, omega_lde)
+    )
+    for i in range(b):
+        got = np.asarray(
+            _chunk_lde_single_jit(
+                chunks[:, i : i + 1], log_blowup, COSET_SHIFT,
+                (COSET_SHIFT * pow(omega_lde, i, R_MOD)) % R_MOD,
+            )
+        )
+        assert (got[:, 0] == want[:, i]).all(), f"chunk {i}"
+
+
+def test_streamed_quotient_bit_identical(monkeypatch):
+    """Streaming BOTH the trace and the quotient chunk stack (the 2^22
+    config's memory shape) must still produce a bit-identical proof."""
+    built, alpha, delta = _built(n=256, w=3)
+    cfg = StarkConfig(
+        fri=FriConfig(log_blowup=2, log_final_poly_len=0, num_queries=4,
+                      proof_of_work_bits=0)
+    )
+    baseline = prove(cfg, built.air, built.matrix, [alpha, delta],
+                     HashChallenger())
+    monkeypatch.setattr(streaming, "STREAM_LDE_BYTES", 1)
+    monkeypatch.setattr(streaming, "STREAM_CHUNK_BYTES", 1)
+    streamed = prove(cfg, built.air, built.matrix, [alpha, delta],
+                     HashChallenger())
+    assert streamed.to_bytes() == baseline.to_bytes()
+    verify(cfg, built.air, streamed, [alpha, delta], HashChallenger())
